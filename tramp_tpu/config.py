@@ -1,0 +1,28 @@
+"""Global configuration for tramp_tpu.
+
+The reference (sphinxteam/tramp) is float64 numpy throughout. On TPU we
+default to float32 (fast VPU/MXU path) and allow float64 on CPU for
+bitwise-tolerant parity testing (enable via ``jax.config.jax_enable_x64``).
+"""
+import jax
+import jax.numpy as jnp
+
+#: Precision clipping bounds for message precisions.
+#: Mirrors reference tramp/base.py:238-239 (AMIN=1e-11, AMAX=1e11).
+AMIN = 1e-11
+AMAX = 1e11
+
+#: Floor for the numerically safe inverse, reference tramp/base.py:44-46.
+VMIN = 1e-20
+
+#: Default number of Gauss-Hermite nodes used to replace the reference's
+#: adaptive scipy.integrate.quad over [-10, 10] (tramp/utils/integration.py:27).
+GH_NODES = 127
+
+#: Default number of Gauss-Legendre nodes for truncated-interval measures.
+GL_NODES = 65
+
+
+def default_dtype():
+    """Default floating dtype: float64 when x64 is enabled, else float32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
