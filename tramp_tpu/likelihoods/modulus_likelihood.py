@@ -1,0 +1,98 @@
+"""Modulus likelihood y = |z| for complex z (phase retrieval).
+Complex arrays are packed as real arrays Z with Z[0]=Re, Z[1]=Im.
+Reference tramp/likelihoods/modulus_likelihood.py."""
+import jax.numpy as jnp
+
+from .base_likelihood import Likelihood
+from ..utils.misc import complex2array, array2complex
+from ..utils.integration import gaussian_measure, gaussian_measure_2d
+
+
+def i0e(x):
+    "Exponentially scaled modified Bessel I0 (jax.scipy.special.i0e)."
+    from jax.scipy.special import i0e as _i0e
+    return _i0e(x)
+
+
+def i1e(x):
+    from jax.scipy.special import i1e as _i1e
+    return _i1e(x)
+
+
+def ive_ratio(r):
+    "I(r) = I1e(r)/I0e(r), ~1 for r >> 1. Reference l:9-20."
+    return i1e(r) / i0e(r)
+
+
+def normalize(bz):
+    "bz / |bz| for complex bz, 0 where bz == 0. Reference l:23-29."
+    b = jnp.abs(bz)
+    return jnp.where(b == 0, 0.0, bz / jnp.where(b == 0, 1.0, b))
+
+
+class ModulusLikelihood(Likelihood):
+
+    _data_fields = ("y",)
+    _meta_fields = ("y_name", "isotropic")
+
+    def __init__(self, y, y_name="y", isotropic=True):
+        self.y_name = y_name
+        self.isotropic = isotropic
+        self.y = None if y is None else jnp.asarray(y)
+
+    def sample(self, key, Z):
+        return jnp.abs(array2complex(Z))
+
+    def math(self):
+        return r"$|\cdot|$"
+
+    def scalar_backward_mean(self, az, bz, y):
+        bzc = array2complex(bz)
+        b = jnp.abs(bzc)
+        I = ive_ratio(b * y)
+        return normalize(bzc) * y * I
+
+    def scalar_backward_variance(self, az, bz, y):
+        bzc = array2complex(bz)
+        b = jnp.abs(bzc)
+        I = ive_ratio(b * y)
+        # 0.5 factor: averaging over the complex coordinate
+        return 0.5 * y**2 * (1.0 - I**2)
+
+    def scalar_log_partition(self, az, bz, y):
+        b = jnp.abs(array2complex(bz)) if bz.shape[0] == 2 else jnp.abs(bz)
+        return (-0.5 * az * y**2
+                + jnp.log(2 * jnp.pi * y * i0e(b * y)) + b * y)
+
+    def compute_backward_posterior(self, az, bz, y):
+        bzc = array2complex(bz)
+        b = jnp.abs(bzc)
+        I = ive_ratio(b * y)
+        rz = normalize(bzc) * y * I
+        vz = 0.5 * y**2 * (1.0 - I**2)
+        if self.isotropic:
+            vz = jnp.mean(vz)
+        return complex2array(rz), vz
+
+    def compute_log_partition(self, az, bz, y):
+        b = jnp.abs(array2complex(bz))
+        A = (-0.5 * az * y**2
+             + jnp.log(2 * jnp.pi * y * i0e(b * y)) + b * y)
+        # 0.5 factor: averaging over the complex coordinate
+        return jnp.mean(A) / 2
+
+    def beliefs_measure(self, az, tau_z, f):
+        "Reference l:105-127 (typical case u_eff > 0)."
+        u_eff = jnp.maximum(0.0, az * tau_z - 1.0)
+        sz_eff = jnp.sqrt(az * u_eff)
+
+        # integrand: relu(b)*relu(y)*ive(0, b y)*f (ive = scaled Bessel i0e)
+        def f_ref(xi_b, xi_y):
+            b = sz_eff * xi_b
+            y = b / az + xi_y / jnp.sqrt(az)
+            coef = 2 * jnp.pi / jnp.sqrt(jnp.maximum(u_eff, 1e-30))
+            bz = jnp.stack([b, jnp.zeros_like(b)], axis=0)
+            return (coef * jnp.maximum(b, 0.0) * jnp.maximum(y, 0.0)
+                    * i0e(b * y) * f(bz, y))
+
+        return gaussian_measure_2d(0.0, 1.0, 0.0, 1.0, f_ref)
