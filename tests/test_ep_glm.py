@@ -1,0 +1,129 @@
+"""End-to-end EP/SE tests on GLMs, the reference's benchmark models
+(examples/figures/compute_benchmark.py:16-70, examples/glm/data/*.csv)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tramp_tpu import (
+    glm_generative, glm_state_evolution, ExpectationPropagation,
+    StateEvolution, V, O,
+)
+from tramp_tpu.priors import GaussianPrior, GaussBernoulliPrior
+from tramp_tpu.channels import LinearChannel, GaussianChannel
+from tramp_tpu.likelihoods import GaussianLikelihood
+from tramp_tpu.experiments import BayesOptimalScenario
+
+
+def test_ep_gaussian_exact_ridge():
+    """Fully Gaussian model: EP fixed point == exact ridge posterior."""
+    rng = np.random.RandomState(0)
+    N, M = 40, 25
+    W = rng.randn(M, N) / np.sqrt(N)
+    x0 = rng.randn(N)
+    noise_var = 0.1
+    y = W @ x0 + np.sqrt(noise_var) * rng.randn(M)
+
+    model = (
+        GaussianPrior(size=N) @ V(id="x") @
+        LinearChannel(jnp.asarray(W), name="W") @ V(id="z") @
+        GaussianLikelihood(y=jnp.asarray(y), var=noise_var)
+    ).to_model()
+
+    ep = ExpectationPropagation(model)
+    ep.iterate(max_iter=100, tol=1e-12)
+    r = np.asarray(ep.get_variable_data("x")["r"])
+
+    A = W.T @ W / noise_var + np.eye(N)
+    want = np.linalg.solve(A, W.T @ y / noise_var)
+    np.testing.assert_allclose(r, want, rtol=1e-6, atol=1e-8)
+
+
+def test_ep_compressed_sensing_easy_phase():
+    """Noiseless CS at alpha=0.51, rho=0.25: perfect recovery
+    (reference CSV: v_EP=4.1e-7, mse=3.1e-7 at these parameters)."""
+    model = glm_generative(
+        N=1000, alpha=0.51, ensemble_type="gaussian",
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=0.25, output_var=1e-11,
+        key=jax.random.PRNGKey(42))
+    scenario = BayesOptimalScenario(model, x_ids=["x"])
+    scenario.setup(seed=1)
+    x_data = scenario.run_ep(max_iter=200, damping=0.1)
+    mse = float(jnp.mean(
+        (x_data["x"]["r"] - scenario.x_true["x"]) ** 2))
+    assert mse < 1e-5, f"mse={mse}"
+    assert float(x_data["x"]["v"]) < 1e-5
+
+
+def test_ep_matches_se_hard_phase():
+    """CS at alpha=0.3, rho=0.25: EP mse should track its own SE
+    prediction (reference CSV pattern: v_EP ~ v_SE ~ empirical mse)."""
+    model = glm_generative(
+        N=2000, alpha=0.3, ensemble_type="gaussian",
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=0.25, output_var=1e-11,
+        key=jax.random.PRNGKey(7))
+    scenario = BayesOptimalScenario(model, x_ids=["x"])
+    scenario.setup(seed=3)
+    x_ep = scenario.run_ep(max_iter=200, damping=0.1)
+    x_se = scenario.run_se(max_iter=200)
+    v_ep = float(x_ep["x"]["v"])
+    v_se = float(np.mean(x_se["x"]["v"]))
+    mse = float(jnp.mean((x_ep["x"]["r"] - scenario.x_true["x"]) ** 2))
+    # EP variance estimate ~ SE prediction ~ empirical error
+    np.testing.assert_allclose(v_ep, v_se, rtol=0.3)
+    np.testing.assert_allclose(mse, v_se, rtol=0.4)
+
+
+def test_se_glm_marchenko_vs_reference_csv():
+    """SE with Marchenko-Pastur channel vs the committed reference curve
+    (examples/glm/data/compressed_sensing_ep_vs_se.csv). The CSV is computed
+    on a random 1000-dim instance; the analytic MP prediction must agree to
+    finite-size accuracy."""
+    cases = [
+        # alpha, rho, v_SE from reference CSV
+        (0.02040816326530612, 0.25, 0.2449736425973765),
+        (0.1020408163265306, 0.25, 0.22161585787239443),
+        (0.3061224489795918, 0.25, 0.1295894020045803),
+    ]
+    for alpha, rho, v_ref in cases:
+        model = glm_state_evolution(
+            alpha=alpha, prior_type="gauss_bernoulli",
+            output_type="gaussian", prior_rho=rho, output_var=1e-11)
+        se = StateEvolution(model)
+        se.iterate(max_iter=200)
+        v = float(np.mean(se.get_variable_data("x")["v"]))
+        np.testing.assert_allclose(v, v_ref, rtol=5e-2)
+
+
+def test_warm_start_and_n_iter():
+    model = glm_generative(
+        N=100, alpha=0.6, ensemble_type="gaussian",
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=0.5, output_var=0.01, key=jax.random.PRNGKey(0))
+    scenario = BayesOptimalScenario(model, x_ids=["x"])
+    scenario.setup(seed=0)
+    from tramp_tpu.algos import ExpectationPropagation as EP
+    ep = EP(scenario.student)
+    ep.iterate(max_iter=50)
+    n1 = ep.n_iter
+    assert 0 < n1 <= 50
+    ep.iterate(max_iter=10, warm_start=True)
+    assert ep.n_iter >= n1
+
+
+def test_sample_and_shapes():
+    model = glm_generative(
+        N=50, alpha=0.4, ensemble_type="gaussian",
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=0.5, output_var=0.01, key=jax.random.PRNGKey(0))
+    sample = model.sample(jax.random.PRNGKey(5))
+    assert set(sample.keys()) == {"x", "z", "y"}
+    assert sample["x"].shape == (50,)
+    assert sample["z"].shape == (20,)
+    assert sample["y"].shape == (20,)
+    shapes = model.get_shapes()
+    assert shapes["x"] == (50,)
+    taus = model.get_second_moments()
+    assert abs(float(taus["x"]) - 0.5) < 1e-12

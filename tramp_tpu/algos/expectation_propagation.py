@@ -1,0 +1,101 @@
+"""Expectation Propagation engine.
+Reference tramp/algos/expectation_propagation.py."""
+import jax.numpy as jnp
+
+from ..base import Variable
+from .message_passing import MessagePassing, slot, FWD, BWD
+
+
+def _unwrap(msgs, n):
+    a = [m["a"] for m in msgs]
+    b = [m["b"] for m in msgs]
+    if n == 1:
+        return a[0], b[0]
+    return a, b
+
+
+class ExpectationPropagation(MessagePassing):
+
+    def __init__(self, model):
+        model.init_shapes()
+        super().__init__(model, message_keys=["a", "b"])
+
+    # -- factor ops -------------------------------------------------------
+    def _factor_forward(self, i, node, state, aux):
+        prev_msgs, next_msgs = self._gather_factor_inputs(i, state)
+        ax, bx = _unwrap(next_msgs, node.n_next)
+        if node.n_prev == 0:
+            a_new, b_new = node.compute_forward_message(ax, bx)
+        else:
+            az, bz = _unwrap(prev_msgs, node.n_prev)
+            a_new, b_new = node.compute_forward_message(az, bz, ax, bx)
+        out_edges = self.model.out_edges[i]
+        if node.n_next == 1:
+            return {slot(out_edges[0], FWD): {"a": a_new, "b": b_new}}
+        return {slot(e, FWD): {"a": a, "b": b}
+                for e, a, b in zip(out_edges, a_new, b_new)}
+
+    def _factor_backward(self, i, node, state, aux):
+        prev_msgs, next_msgs = self._gather_factor_inputs(i, state)
+        az, bz = _unwrap(prev_msgs, node.n_prev)
+        if node.n_next == 0:
+            a_new, b_new = node.compute_backward_message(az, bz)
+        else:
+            ax, bx = _unwrap(next_msgs, node.n_next)
+            a_new, b_new = node.compute_backward_message(az, bz, ax, bx)
+        in_edges = self.model.in_edges[i]
+        if node.n_prev == 1:
+            return {slot(in_edges[0], BWD): {"a": a_new, "b": b_new}}
+        return {slot(e, BWD): {"a": a, "b": b}
+                for e, a, b in zip(in_edges, a_new, b_new)}
+
+    # -- posterior update (reference expectation_propagation.py:17-19) ----
+    def update(self, variable, post):
+        a_hat, b_hat = post["a"], post["b"]
+        return dict(r=b_hat / a_hat, v=1.0 / a_hat)
+
+    # -- convergence: max relative change of r (EarlyStoppingEP l:250-286) -
+    def _convergence_metric(self, model, state):
+        rs = []
+        for i in self.variable_indices:
+            post = self._posterior(i, state)
+            rs.append(post["b"] / post["a"])
+        return tuple(rs)
+
+    def _convergence_delta(self, new_m, old_m):
+        def norm(x):
+            return jnp.sqrt(jnp.mean(x**2))
+        tols = [norm(n - o) / jnp.maximum(norm(n), 1e-300)
+                for n, o in zip(new_m, old_m)]
+        return jnp.stack(tols).max()
+
+    # -- objective ---------------------------------------------------------
+    def variable_objective(self, var, v_idx, post):
+        "Variable log partition. Reference base.py:146-150."
+        ax, bx = post["a"], post["b"]
+        logZ = 0.5 * jnp.sum(
+            bx**2 / ax + jnp.log(2 * jnp.pi / ax) * jnp.ones_like(bx))
+        return jnp.where(jnp.all(ax > 0), logZ, jnp.inf)
+
+    def node_objective_at(self, i, state):
+        node = self.nodes[i]
+        if isinstance(node, Variable):
+            return self.variable_objective(node, i, self._posterior(i, state))
+        prev_msgs, next_msgs = self._gather_factor_inputs(i, state)
+        if node.n_prev == 0:
+            ax, bx = _unwrap(next_msgs, node.n_next)
+            return node.compute_log_partition(ax, bx)
+        if node.n_next == 0:
+            az, bz = _unwrap(prev_msgs, node.n_prev)
+            return node.compute_log_partition(az, bz, node.y)
+        az, bz = _unwrap(prev_msgs, node.n_prev)
+        ax, bx = _unwrap(next_msgs, node.n_next)
+        return node.compute_log_partition(az, bz, ax, bx)
+
+    def log_evidence(self, update=True):
+        if update:
+            self.update_objective()
+        return self.A_model
+
+    def surprisal(self, update=True):
+        return -self.log_evidence(update)

@@ -1,0 +1,319 @@
+"""Message-passing engine base.
+
+TPU-first architecture (vs the reference's per-edge dict juggling in
+tramp/algos/message_passing.py:58-357):
+
+- Message state is a flat tuple of per-directed-edge dicts
+  ``{"a": scalar-or-array, "b": array}`` (SE: ``{"a"}`` only) — a pytree.
+- One EP/SE iteration is a *pure function* ``(model, state) -> state`` whose
+  double sweep is unrolled at trace time from the static schedule; XLA fuses
+  each node update into a handful of kernels.
+- ``iterate`` runs either a fully fused ``lax.while_loop`` (fast path, used
+  for benchmarking and batched sweeps) or a Python loop around the jitted
+  single iteration (when host-side callbacks are requested). Both share the
+  same step function.
+- NaN guard: if a sweep produces any non-finite message the previous state
+  is kept and the loop stops (mirrors the reference's rollback,
+  message_passing.py:187-209).
+- Damping: constant per-edge factor->variable damping
+  ``new = d*old + (1-d)*new`` (message_passing.py:119-127).
+
+Slot layout: model edge e gets slots 2e (direction "fwd") and 2e+1 ("bwd").
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import Variable, Factor
+from ..models import Model
+from .initial_conditions import ConstantInit
+
+FWD, BWD = 0, 1
+
+
+def slot(e, direction):
+    return 2 * e + direction
+
+
+class MessagePassing:
+
+    def __init__(self, model, message_keys):
+        if not isinstance(model, Model):
+            raise ValueError(f"model {model} is not a Model")
+        self.model = model
+        self.message_keys = message_keys
+        self.n_iter = 0
+        self.state = None
+        self._compiled = {}
+
+        # static schedule ------------------------------------------------
+        self.nodes = model.nodes
+        self.edges = model.edges
+        self.n_slots = 2 * len(model.edges)
+        # variable node index adjacent to each edge
+        self.edge_variable = [
+            ui if isinstance(model.nodes[ui], Variable) else vi
+            for (ui, vi) in model.edges
+        ]
+        # factor-emitted slots (fwd on factor->var edges, bwd on var->factor)
+        self.factor_emitted = []
+        for e, (ui, vi) in enumerate(model.edges):
+            if isinstance(model.nodes[ui], Factor):
+                self.factor_emitted.append(slot(e, FWD))
+            else:
+                self.factor_emitted.append(slot(e, BWD))
+        self.variable_indices = [
+            i for i, n in enumerate(self.nodes) if isinstance(n, Variable)]
+
+    # -- initial state ---------------------------------------------------
+    def init_state(self, initializer=None):
+        initializer = initializer or ConstantInit(a=0, b=0)
+        shapes = self.model.init_shapes()
+        state = []
+        for e, (ui, vi) in enumerate(self.edges):
+            v_idx = self.edge_variable[e]
+            var = self.nodes[v_idx]
+            shape = shapes.get(v_idx)
+            for direction, dname in ((FWD, "fwd"), (BWD, "bwd")):
+                msg = {}
+                for key in self.message_keys:
+                    msg[key] = initializer.init(key, shape, var.id, dname)
+                state.append(msg)
+        return tuple(state)
+
+    # -- damping ---------------------------------------------------------
+    def _damping_per_slot(self, damping):
+        "Static per-slot damping coefficients (0 = undamped)."
+        damp = [0.0] * self.n_slots
+        if not damping:
+            return tuple(damp)
+        if isinstance(damping, float):
+            for e in range(len(self.edges)):
+                damp[self.factor_emitted[e]] = damping
+            return tuple(damp)
+        if isinstance(damping, list):
+            # damp the factor->variable message with direction `direction`
+            # arriving at variable `id` (reference configure_damping l:70-106)
+            for (id, direction, d) in damping:
+                v_idx = self.model.variable_index(id)
+                want_dir = FWD if direction == "fwd" else BWD
+                for e, (ui, vi) in enumerate(self.edges):
+                    if self.edge_variable[e] != v_idx:
+                        continue
+                    if want_dir == FWD and isinstance(self.nodes[ui], Factor):
+                        damp[slot(e, FWD)] = d
+                    if want_dir == BWD and isinstance(self.nodes[vi], Factor):
+                        damp[slot(e, BWD)] = d
+            return tuple(damp)
+        raise ValueError("damping must be None, float or list")
+
+    # -- node processing (called at trace time) --------------------------
+    def _gather_factor_inputs(self, i, state):
+        "az,bz from fwd slots of in-edges; ax,bx from bwd slots of out-edges."
+        prev_msgs = [state[slot(e, FWD)] for e in self.model.in_edges[i]]
+        next_msgs = [state[slot(e, BWD)] for e in self.model.out_edges[i]]
+        return prev_msgs, next_msgs
+
+    def _variable_out(self, i, state, direction):
+        """Cavity messages from variable node i: for each out adjacency, sum
+        all incoming messages except the opposite-direction message on that
+        same adjacency (cancellation-free, reference base.py:183-207)."""
+        in_slots = ([slot(e, FWD) for e in self.model.in_edges[i]]
+                    + [slot(e, BWD) for e in self.model.out_edges[i]])
+        out = {}
+        if direction == FWD:
+            targets = [(e, slot(e, BWD)) for e in self.model.out_edges[i]]
+        else:
+            targets = [(e, slot(e, FWD)) for e in self.model.in_edges[i]]
+        for e, excluded in targets:
+            msg = {}
+            for key in self.message_keys:
+                msg[key] = sum(
+                    state[s][key] for s in in_slots if s != excluded)
+            out[slot(e, FWD if direction == FWD else BWD)] = msg
+        return out
+
+    def _posterior(self, i, state):
+        in_slots = ([slot(e, FWD) for e in self.model.in_edges[i]]
+                    + [slot(e, BWD) for e in self.model.out_edges[i]])
+        post = {}
+        for key in self.message_keys:
+            post[key] = sum(state[s][key] for s in in_slots)
+        return post
+
+    # subclasses implement: _factor_forward / _factor_backward returning
+    # {slot: msg} and `update(posterior)` -> variable data dict
+
+    def _prepare(self, model):
+        "Per-trace auxiliary data (e.g. second moments for SE)."
+        return None
+
+    def _sweep(self, model, state, damp):
+        "One forward + backward sweep. Returns new state tuple."
+        aux = self._prepare(model)
+        state = list(state)
+
+        def write(updates):
+            for s, msg in updates.items():
+                d = damp[s]
+                if d:
+                    old = state[s]
+                    msg = {k: d * old[k] + (1.0 - d) * msg[k]
+                           for k in self.message_keys}
+                state[s] = msg
+
+        # forward pass
+        for i, node in enumerate(model.nodes):
+            if isinstance(node, Variable):
+                if node.n_next == 0:
+                    continue
+                write(self._variable_out(i, state, FWD))
+            else:
+                if node.n_next == 0:
+                    continue
+                write(self._factor_forward(i, node, state, aux))
+        # backward pass
+        for i in reversed(range(len(model.nodes))):
+            node = model.nodes[i]
+            if isinstance(node, Variable):
+                if node.n_prev == 0:
+                    continue
+                write(self._variable_out(i, state, BWD))
+            else:
+                if node.n_prev == 0:
+                    continue
+                write(self._factor_backward(i, node, state, aux))
+        return tuple(state)
+
+    # -- finite guard -----------------------------------------------------
+    def _all_finite(self, state):
+        flags = [jnp.all(jnp.isfinite(msg[k]))
+                 for msg in state for k in self.message_keys]
+        return jnp.stack(flags).all()
+
+    # -- iterate ----------------------------------------------------------
+    def iterate(self, max_iter=200, callback=None, initializer=None,
+                damping=None, warm_start=False, tol=1e-6, check_nan=True):
+        """Run message passing.
+
+        Fast path (callback=None): fused jit(while_loop) with early stopping
+        on the convergence criterion and NaN rollback.
+        Callback path: Python loop over a jitted single iteration; callbacks
+        see the live engine like in the reference.
+        """
+        if warm_start:
+            if self.state is None:
+                raise ValueError("message state was never initialized")
+        else:
+            self.state = self.init_state(initializer)
+            self.n_iter = 0
+        damp = self._damping_per_slot(damping)
+
+        if callback is None:
+            self._iterate_compiled(max_iter, damp, tol, check_nan)
+        else:
+            self._iterate_python(max_iter, damp, callback)
+        return self
+
+    def _get_step(self, damp, key):
+        k = ("step", damp, key)
+        if k not in self._compiled:
+            def step(model, state):
+                new_state = self._sweep(model, state, damp)
+                return new_state
+            self._compiled[k] = jax.jit(step)
+        return self._compiled[k]
+
+    def _iterate_python(self, max_iter, damp, callback):
+        step = self._get_step(damp, "py")
+        for i in range(max_iter):
+            new_state = step(self.model, self.state)
+            if bool(self._all_finite(new_state)):
+                self.state = new_state
+            else:
+                break
+            self.n_iter += 1
+            stop = callback(self, i, max_iter)
+            if stop:
+                break
+
+    def _iterate_compiled(self, max_iter, damp, tol, check_nan):
+        k = ("loop", damp, bool(check_nan))
+        if k not in self._compiled:
+            def run(model, state, max_iter, tol):
+                def cond(carry):
+                    state, old_m, i, done = carry
+                    return (~done) & (i < max_iter)
+
+                def body(carry):
+                    state, old_m, i, done = carry
+                    new_state = self._sweep(model, state, damp)
+                    ok = self._all_finite(new_state) if check_nan else True
+                    new_state = jax.tree.map(
+                        lambda n, o: jnp.where(ok, n, o), new_state, state)
+                    new_m = self._convergence_metric(model, new_state)
+                    delta = self._convergence_delta(new_m, old_m)
+                    converged = (i > 0) & (delta < tol)
+                    return (new_state, new_m, i + 1,
+                            converged | (~jnp.asarray(ok)))
+
+                m0 = self._convergence_metric(model, state)
+                state, m, i, done = jax.lax.while_loop(
+                    cond, body, (state, m0, jnp.asarray(0), jnp.asarray(False)))
+                return state, i
+
+            self._compiled[k] = jax.jit(run, static_argnames=())
+        state, i = self._compiled[k](
+            self.model, self.state, jnp.asarray(max_iter), jnp.asarray(
+                self._tol_value(tol)))
+        self.state = state
+        self.n_iter += int(i)
+
+    def _tol_value(self, tol):
+        return tol
+
+    # -- data access (reference message_passing.py:265-304) ---------------
+    def get_variables_data(self, ids="all"):
+        data = {}
+        for i in self.variable_indices:
+            var = self.nodes[i]
+            if ids == "all" or var.id in ids:
+                post = self._posterior(i, self.state)
+                data[var.id] = self.update(self.nodes[i], post)
+        return data
+
+    def get_variable_data(self, id):
+        data = self.get_variables_data(ids=[id])
+        if id not in data:
+            raise ValueError(f"id={id} not in variables")
+        return data[id]
+
+    def get_edges_data(self, keys):
+        records = []
+        for e, (ui, vi) in enumerate(self.edges):
+            var = self.nodes[self.edge_variable[e]]
+            fac = (self.nodes[ui] if isinstance(self.nodes[ui], Factor)
+                   else self.nodes[vi])
+            for direction, dname in ((FWD, "fwd"), (BWD, "bwd")):
+                msg = self.state[slot(e, direction)]
+                record = dict(x_id=var.id, f_id=fac.id, direction=dname)
+                for key in keys:
+                    if key in msg:
+                        record[key] = np.asarray(msg[key])
+                records.append(record)
+        return records
+
+    # -- objective (Bethe free entropy, reference l:306-328) ---------------
+    def update_objective(self):
+        A_nodes = 0.0
+        for i, node in enumerate(self.nodes):
+            A_nodes = A_nodes + self.node_objective_at(i, self.state)
+        A_edges = 0.0
+        for e in range(len(self.edges)):
+            v_idx = self.edge_variable[e]
+            msgs = [self.state[slot(e, FWD)], self.state[slot(e, BWD)]]
+            post = {k: sum(m[k] for m in msgs) for k in self.message_keys}
+            A_edges = A_edges + self.variable_objective(
+                self.nodes[v_idx], v_idx, post)
+        self.A_model = A_nodes - A_edges
+        return self.A_model
