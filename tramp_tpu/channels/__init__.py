@@ -2,6 +2,7 @@
 from .base_channel import Channel, SIFactor, SOFactor, MatrixFactorization
 from .gaussian_channel import GaussianChannel
 from .linear_channel import LinearChannel
+from .complex_linear_channel import ComplexLinearChannel
 from .analytical_linear_channel import (
     AnalyticalLinearChannel, MarchenkoPasturChannel)
 from .shape_channels import (
@@ -11,12 +12,32 @@ from .piecewise_linear_channel import (
     ReluChannel, LeakyReluChannel, HardTanhChannel, HardSigmoidChannel,
     SymmetricDoorChannel,
 )
+from .conv_channel import (
+    ConvChannel, DifferentialChannel, LaplacianChannel, Blur1DChannel,
+    Blur2DChannel,
+)
+from .gradient_channel import GradientChannel
+from .dft_channel import DFTChannel
+from .rotation_channel import RotationChannel
+from .unitary_channel import UnitaryChannel
+from .modulus_channel import ModulusChannel
 
 CHANNEL_CLASSES = {
     "gaussian": GaussianChannel,
     "linear": LinearChannel,
+    "complex_linear": ComplexLinearChannel,
     "marchenko": MarchenkoPasturChannel,
     "analytical": AnalyticalLinearChannel,
+    "conv": ConvChannel,
+    "blur_1d": Blur1DChannel,
+    "blur_2d": Blur2DChannel,
+    "differential": DifferentialChannel,
+    "laplacian": LaplacianChannel,
+    "gradient": GradientChannel,
+    "dft": DFTChannel,
+    "rotation": RotationChannel,
+    "unitary": UnitaryChannel,
+    "modulus": ModulusChannel,
     "bias": BiasChannel,
     "sum": SumChannel,
     "duplicate": DuplicateChannel,
@@ -39,11 +60,14 @@ def get_channel(channel_type, **kwargs):
 
 __all__ = [
     "Channel", "SIFactor", "SOFactor", "MatrixFactorization",
-    "GaussianChannel", "LinearChannel", "AnalyticalLinearChannel",
-    "MarchenkoPasturChannel", "BiasChannel", "SumChannel",
-    "DuplicateChannel", "ConcatChannel", "ReshapeChannel",
+    "GaussianChannel", "LinearChannel", "ComplexLinearChannel",
+    "AnalyticalLinearChannel", "MarchenkoPasturChannel", "BiasChannel",
+    "SumChannel", "DuplicateChannel", "ConcatChannel", "ReshapeChannel",
     "PiecewiseLinearChannel", "SgnChannel", "AbsChannel",
     "AsymmetricAbsChannel", "ReluChannel", "LeakyReluChannel",
     "HardTanhChannel", "HardSigmoidChannel", "SymmetricDoorChannel",
+    "ConvChannel", "DifferentialChannel", "LaplacianChannel",
+    "Blur1DChannel", "Blur2DChannel", "GradientChannel", "DFTChannel",
+    "RotationChannel", "UnitaryChannel", "ModulusChannel",
     "CHANNEL_CLASSES", "get_channel",
 ]

@@ -1,22 +1,12 @@
-"""Dense linear channel x = W z, diagonalized once in the SVD basis.
-
-TPU-first design notes (vs reference tramp/channels/linear/linear_channel.py):
-- the SVD is computed once at construction (host or device); EP messages are
-  two dense matvecs in the SVD basis — pure MXU work, batchable via vmap
-  over instances and shardable over the mesh (only the contraction dims of
-  U/V communicate).
-- scalar messages (isotropic a) keep the resolvent a length-Nz vector; no
-  data-dependent branching: az/ax == 0 edge cases use jnp.where.
-"""
+"""Complex linear channel x = W z with complex SVD; complex arrays packed
+as real (2, ...) arrays. Reference tramp/channels/linear/complex_linear_channel.py."""
 import jax.numpy as jnp
 
 from .base_channel import Channel
+from ..utils.misc import complex2array, array2complex
 
 
-class LinearChannel(Channel):
-    """x = W z with W of shape (Nx, Nz).
-    Reference linear_channel.py:18-143 (SVD precompute l:39-44, resolvent
-    backward mean l:69-83, n_eff spectral sums l:58-67)."""
+class ComplexLinearChannel(Channel):
 
     _data_fields = ("W", "U", "s", "V", "spectrum", "singular")
     _meta_fields = ("Nx", "Nz", "rank", "alpha", "name")
@@ -27,14 +17,13 @@ class LinearChannel(Channel):
         self.Nx, self.Nz = W.shape
         self.name = name
         if svd is not None:
-            U, s, Vt = svd  # precomputed (e.g. on host in float64)
+            U, s, Vh = svd
         else:
-            U, s, Vt = jnp.linalg.svd(W, full_matrices=True)
-        self.U = U          # (Nx, Nx)
-        self.V = Vt.T       # (Nz, Nz)
+            U, s, Vh = jnp.linalg.svd(W, full_matrices=True)
+        self.U = U                # (Nx, Nx) complex
+        self.V = Vh.conj().T      # (Nz, Nz) complex
         k = min(self.Nx, self.Nz)
-        self.s = s          # (k,)
-        # spectrum of W^T W, length Nz (padded with zeros)
+        self.s = s
         self.spectrum = jnp.zeros(self.Nz).at[:k].set(s**2)
         self.rank = rank if rank is not None else int(
             jnp.sum(s > s[0] * max(self.Nx, self.Nz) * 1e-12))
@@ -42,7 +31,7 @@ class LinearChannel(Channel):
         self.alpha = self.Nx / self.Nz
 
     def sample(self, key, Z):
-        return self.W @ Z
+        return complex2array(self.W @ array2complex(Z))
 
     def math(self):
         return rf"${self.name}$"
@@ -51,37 +40,32 @@ class LinearChannel(Channel):
         return tau_z * jnp.sum(self.spectrum) / self.Nx
 
     def compute_n_eff(self, az, ax):
-        "Effective number of parameters / Nz. Reference l:58-67."
         ratio = az / jnp.maximum(ax, 1e-30)
         n_eff = jnp.sum(self.singular / (ratio + self.singular)) / self.Nz
-        n_eff = jnp.where(ax == 0, 0.0, n_eff)
-        return n_eff
+        return jnp.where(ax == 0, 0.0, n_eff)
 
-    def compute_backward_mean(self, az, bz, ax, bx):
-        "rz in the SVD basis via the resolvent 1/(az + ax s^2). Ref l:69-83."
+    def compute_backward_mean(self, az, bz, ax, bx, complex_out=False):
+        bzc = array2complex(bz)
+        bxc = array2complex(bx)
         k = self.s.shape[0]
-        bx_svd = self.U.T @ bx            # (Nx,)
-        bz_svd = self.V.T @ bz            # (Nz,)
+        bx_svd = self.U.conj().T @ bxc
+        bz_svd = self.V.conj().T @ bzc
         resolvent = 1.0 / (az + ax * self.spectrum)
-        if bz.ndim > 1:
-            resolvent = resolvent[:, None]
-        Stbx = jnp.zeros_like(bz_svd).at[:k].set(
-            self.s * bx_svd[:k] if bx.ndim == 1
-            else (self.s[:, None] * bx_svd[:k]))
-        rz_svd = resolvent * (bz_svd + Stbx)
-        return self.V @ rz_svd
+        Stbx = jnp.zeros_like(bz_svd).at[:k].set(self.s * bx_svd[:k])
+        rz = self.V @ (resolvent * (bz_svd + Stbx))
+        return rz if complex_out else complex2array(rz)
 
     def compute_forward_mean(self, az, bz, ax, bx):
-        return self.W @ self.compute_backward_mean(az, bz, ax, bx)
+        rz = self.compute_backward_mean(az, bz, ax, bx, complex_out=True)
+        return complex2array(self.W @ rz)
 
     def compute_backward_variance(self, az, ax):
-        az = jnp.maximum(1e-11, az)
         n_eff = self.compute_n_eff(az, ax)
         return (1.0 - n_eff) / az
 
     def compute_forward_variance(self, az, ax):
         s_mean = jnp.mean(self.singular)
-        v0 = s_mean * self.rank / (self.Nx * az)  # ax == 0 limit (ref l:97-99)
+        v0 = s_mean * self.rank / (self.Nx * az)
         n_eff = self.compute_n_eff(az, ax)
         v = n_eff / (self.alpha * jnp.maximum(ax, 1e-30))
         return jnp.where(ax == 0, v0, v)
@@ -102,9 +86,10 @@ class LinearChannel(Channel):
 
     def compute_log_partition(self, az, bz, ax, bx):
         rz = self.compute_backward_mean(az, bz, ax, bx)
-        b = bz + self.W.T @ bx
+        b = complex2array(
+            array2complex(bz) + self.W.conj().T @ array2complex(bx))
         a = az + ax * self.spectrum
-        return 0.5 * jnp.sum(b * rz) + 0.5 * jnp.sum(jnp.log(2 * jnp.pi / a))
+        return 0.5 * jnp.sum(b * rz) + jnp.sum(jnp.log(2 * jnp.pi / a))
 
     def compute_mutual_information(self, az, ax, tau_z):
         return jnp.mean(0.5 * jnp.log((az + ax * self.spectrum) * tau_z))

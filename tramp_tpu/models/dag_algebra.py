@@ -81,8 +81,8 @@ class DAG:
             dag.add_edge(u, v)
         for u, v in other.dag.edges:
             dag.add_edge(u, v)
-        if len(other._roots_ph) < len(self._leafs_ph):
-            raise ValueError("not enough roots to compose")
+        # NOTE: zip semantics — extra leafs/roots remain as placeholders and
+        # can be consumed by later compositions (reference l:121-131)
         for leaf, root in zip(self._leafs_ph, other._roots_ph):
             prevs = self.dag.predecessors(leaf)
             nexts = other.dag.successors(root)
