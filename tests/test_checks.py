@@ -1,0 +1,52 @@
+"""Checks-package self-tests (the reference's correctness methodology,
+tramp/checks/, as a library surface)."""
+import numpy as np
+
+from tramp_tpu import beliefs
+from tramp_tpu.priors import GaussBernoulliPrior, BinaryPrior
+from tramp_tpu.likelihoods import SgnLikelihood
+from tramp_tpu.checks import (
+    check_belief_grad_b, check_prior_grad_EP, check_prior_grad_RS,
+    check_likelihood_grad_EP, check_prior_BO_limit, check_prior_concentration,
+)
+
+
+def test_check_belief_grad_b():
+    df = check_belief_grad_b(beliefs.sparse, a=1.3, eta=0.4)
+    assert np.allclose(df["r"], df["A1"], rtol=1e-8, atol=1e-10)
+    assert np.allclose(df["v"], df["A2"], rtol=1e-6, atol=1e-9)
+
+
+def test_check_prior_grad_EP():
+    prior = GaussBernoulliPrior(size=1, rho=0.4)
+    df = check_prior_grad_EP(prior)
+    assert df["r_err"].max() < 1e-8
+    assert df["v_err"].max() < 1e-7
+
+
+def test_check_prior_grad_RS():
+    prior = BinaryPrior(size=1, p_pos=0.6)
+    df = check_prior_grad_RS(prior, prior)
+    assert df["m_err"].iloc[0] < 1e-6
+    assert df["q_err"].iloc[0] < 1e-5
+
+
+def test_check_prior_BO_limit():
+    prior = GaussBernoulliPrior(size=1, rho=0.3)
+    df = check_prior_BO_limit(prior)
+    assert df["err"].max() < 1e-7
+
+
+def test_check_likelihood_grad_EP():
+    lk = SgnLikelihood(y=None)
+    df = check_likelihood_grad_EP(lk, y=1.0)
+    assert df["r_err"].max() < 1e-7
+    assert df["v_err"].max() < 1e-6
+
+
+def test_check_prior_concentration():
+    df = check_prior_concentration(
+        lambda N: GaussBernoulliPrior(size=N, rho=0.5),
+        N_values=(100, 10000))
+    assert df["err"].iloc[-1] < df["err"].iloc[0] + 1e-3
+    assert df["err"].iloc[-1] < 0.01

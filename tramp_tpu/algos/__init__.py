@@ -4,6 +4,9 @@ from .state_evolution import StateEvolution
 from .initial_conditions import ConstantInit, NoisyInit, CustomInit
 from .metrics import METRICS, mean_squared_error, sign_symmetric_mse, \
     phase_symmetric_mse, overlap
+from .explain import (
+    ExplainMessagePassing, ExplainStateEvolution, DisplayLatexMessagePassing,
+)
 from .callbacks import (
     Callback, PassCallback, JoinCallback, LogProgress, TrackMessages,
     TrackObjective, TrackEvolution, TrackEstimate, TrackErrors,
@@ -17,4 +20,6 @@ __all__ = [
     "overlap", "Callback", "PassCallback", "JoinCallback", "LogProgress",
     "TrackMessages", "TrackObjective", "TrackEvolution", "TrackEstimate",
     "TrackErrors", "TrackOverlaps", "EarlyStopping", "EarlyStoppingEP",
+    "ExplainMessagePassing", "ExplainStateEvolution",
+    "DisplayLatexMessagePassing",
 ]

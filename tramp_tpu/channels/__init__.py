@@ -21,6 +21,11 @@ from .dft_channel import DFTChannel
 from .rotation_channel import RotationChannel
 from .unitary_channel import UnitaryChannel
 from .modulus_channel import ModulusChannel
+from .activation_channel import ActivationChannel, TanhChannel
+from .low_rank import (
+    LowRankGramChannel, LowRankFactorization, vamp_matrix_factorization,
+    se_matrix_factorization,
+)
 
 CHANNEL_CLASSES = {
     "gaussian": GaussianChannel,
@@ -51,6 +56,9 @@ CHANNEL_CLASSES = {
     "h-tanh": HardTanhChannel,
     "h-sigm": HardSigmoidChannel,
     "door": SymmetricDoorChannel,
+    "tanh": TanhChannel,
+    "low_rank_gram": LowRankGramChannel,
+    "low_rank_factorization": LowRankFactorization,
 }
 
 
@@ -69,5 +77,8 @@ __all__ = [
     "ConvChannel", "DifferentialChannel", "LaplacianChannel",
     "Blur1DChannel", "Blur2DChannel", "GradientChannel", "DFTChannel",
     "RotationChannel", "UnitaryChannel", "ModulusChannel",
+    "ActivationChannel", "TanhChannel", "LowRankGramChannel",
+    "LowRankFactorization", "vamp_matrix_factorization",
+    "se_matrix_factorization",
     "CHANNEL_CLASSES", "get_channel",
 ]

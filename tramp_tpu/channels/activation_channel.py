@@ -1,0 +1,83 @@
+"""Generic smooth-activation channel x = f(z) via fixed-node quadrature.
+
+TPU-native rewrite of the reference's np.vectorize + scipy.quad slow path
+(tramp/channels/activation/activation_channel.py:7-79): the per-element
+1D integral over the tilted belief becomes a broadcasted sum over
+composite Gauss-Legendre nodes — one fused elementwise kernel for the
+whole array instead of N adaptive quadratures."""
+import jax.numpy as jnp
+
+from .base_channel import Channel
+from ..utils.integration import composite_gauss_legendre, gaussian_measure
+
+
+class ActivationChannel(Channel):
+
+    _data_fields = ()
+    _meta_fields = ("name", "_func")
+
+    def __init__(self, func, name=None):
+        if isinstance(func, str):
+            name = func
+            func = self._lookup(func)
+        self.name = name or getattr(func, "__name__", "f")
+        self._func = func
+
+    @staticmethod
+    def _lookup(name):
+        import jax.scipy.special as jsp
+        table = {
+            "tanh": jnp.tanh, "sin": jnp.sin, "cos": jnp.cos,
+            "erf": jsp.erf,
+        }
+        return table[name]
+
+    @property
+    def func(self):
+        return self._func if self._func is not None else self._lookup(self.name)
+
+    def sample(self, key, Z):
+        return self.func(Z)
+
+    def math(self):
+        return rf"$\mathrm{{{self.name}}}$"
+
+    def second_moment(self, tau_z):
+        return gaussian_measure(
+            0.0, jnp.sqrt(tau_z), lambda z: self.func(z) ** 2)
+
+    def _moments(self, az, bz, ax, bx):
+        """Moments of the tilted belief
+        p(z) ~ exp(-az z^2/2 + bz z - ax f(z)^2/2 + bx f(z)) over
+        z in bz/az +- 10/sqrt(az) (reference integration range l:38-40)."""
+        u, w = composite_gauss_legendre(0.0, 1.0, 16, 12)
+        u = jnp.asarray(u)
+        w = jnp.asarray(w)
+        m = bz / az
+        s = 1.0 / jnp.sqrt(az)
+        # nodes along a new trailing axis
+        z = m[..., None] + s * (20.0 * u - 10.0)
+        x = self.func(z)
+        L = (-0.5 * ax * x**2 + bx[..., None] * x
+             - 0.5 * az * z**2 + bz[..., None] * z)
+        L = L - jnp.max(L, axis=-1, keepdims=True)
+        p = jnp.exp(L) * w
+        Z0 = jnp.sum(p, axis=-1)
+        rz = jnp.sum(p * z, axis=-1) / Z0
+        z2 = jnp.sum(p * z**2, axis=-1) / Z0
+        rx = jnp.sum(p * x, axis=-1) / Z0
+        x2 = jnp.sum(p * x**2, axis=-1) / Z0
+        return rz, z2 - rz**2, rx, x2 - rx**2
+
+    def compute_forward_posterior(self, az, bz, ax, bx):
+        _, _, rx, vx = self._moments(az, bz, ax, bx)
+        return rx, jnp.mean(vx)
+
+    def compute_backward_posterior(self, az, bz, ax, bx):
+        rz, vz, _, _ = self._moments(az, bz, ax, bx)
+        return rz, jnp.mean(vz)
+
+
+class TanhChannel(ActivationChannel):
+    def __init__(self):
+        super().__init__(func="tanh")

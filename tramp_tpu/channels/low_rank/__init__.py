@@ -1,0 +1,7 @@
+from .low_rank_channels import LowRankGramChannel, LowRankFactorization
+from .vamp_solver import vamp_matrix_factorization, se_matrix_factorization
+
+__all__ = [
+    "LowRankGramChannel", "LowRankFactorization",
+    "vamp_matrix_factorization", "se_matrix_factorization",
+]

@@ -1,0 +1,81 @@
+"""Low-rank channels delegating to the embedded VAMP solver.
+Reference tramp/channels/low_rank/low_rank_gram_channel.py:7-65 and
+low_rank_factorization.py:7-78."""
+import jax
+import jax.numpy as jnp
+
+from ..base_channel import Channel, MatrixFactorization
+from .vamp_solver import vamp_matrix_factorization, se_matrix_factorization
+
+
+class LowRankGramChannel(Channel):
+    """x = z z^T / sqrt(N) with z of shape (N, K).
+    Reference low_rank_gram_channel.py:7-65."""
+
+    _data_fields = ()
+    _meta_fields = ("N", "K")
+
+    def __init__(self, N, K):
+        self.N = N
+        self.K = K
+
+    def sample(self, key, Z):
+        return Z @ Z.T / jnp.sqrt(self.N)
+
+    def math(self):
+        return r"$zz^T$"
+
+    def second_moment(self, tau_z):
+        # ignore O(1/N^2) terms (reference l:31-34)
+        return self.K * tau_z * tau_z / self.N
+
+    def compute_forward_posterior(self, az, bz, ax, bx):
+        # placeholder (reference l:36-41 uses placeholders too)
+        return jnp.ones_like(bx), jnp.asarray(1.0)
+
+    def compute_backward_posterior(self, az, bz, ax, bx):
+        rz_u, vz_u, rz_v, vz_v = vamp_matrix_factorization(
+            au=az, av=az, bu=bz, bv=bz, ax=ax, bx=bx, model="XX")
+        return rz_v, vz_v
+
+    def compute_backward_error(self, az, ax, tau_z):
+        return se_matrix_factorization(
+            au=az, av=az, ax=ax, model="XX", K=self.K, N=self.N, M=self.N)
+
+
+class LowRankFactorization(MatrixFactorization):
+    """x = u v^T / sqrt(N) with u (M, K), v (N, K).
+    Reference low_rank_factorization.py:7-78."""
+
+    _data_fields = ()
+    _meta_fields = ("M", "N", "K")
+
+    def __init__(self, M, N, K):
+        self.M = M
+        self.N = N
+        self.K = K
+
+    def sample(self, key, U, V):
+        return U @ V.T / jnp.sqrt(self.N)
+
+    def math(self):
+        return r"$uv^T$"
+
+    def second_moment(self, tau_u, tau_v):
+        return self.K * tau_u * tau_v / self.N
+
+    def compute_forward_posterior(self, az, bz, ax, bx):
+        return jnp.ones_like(bx), jnp.asarray(1.0)
+
+    def compute_backward_posterior(self, az, bz, ax, bx):
+        au, av = az
+        bu, bv = bz
+        rz_u, vz_u, rz_v, vz_v = vamp_matrix_factorization(
+            au=au, av=av, bu=bu, bv=bv, ax=ax, bx=bx, model="UV")
+        return [rz_u, rz_v], [vz_u, vz_v]
+
+    def compute_backward_error(self, az, ax, tau_z):
+        au, av = az
+        vz_u, vz_v = se_matrix_factorization(
+            au=au, av=av, ax=ax, model="UV", K=self.K, N=self.N, M=self.M)
+        return [vz_u, vz_v]

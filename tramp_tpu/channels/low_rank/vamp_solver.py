@@ -1,0 +1,172 @@
+"""Embedded VAMP solver for low-rank matrix factorization x = u v^T / sqrt(N)
+(and the symmetric Gram case x = z z^T / sqrt(N)).
+
+TPU-native rewrite of the reference's per-row Python solver
+(tramp/channels/low_rank/AMP_matrix_factorization.py:6-491): the per-row
+KxK Gaussian updates become batched einsum + batched solves, and the
+training loop is a lax.while_loop, so the whole solver traces into the
+enclosing EP sweep.
+
+Math (reference update_* methods, l:246-321):
+  S = (Y/Delta)^T, R = S^2 - 1/Delta             (N, M)
+  B_U = S^T V_hat / sqrt(N) - (S^2)^T C_V V_ons / N       (Onsager)
+  A_U = [ (1/Delta) sum_j V_j V_j^T - sum_j R_jm C_V_j ] / N
+  posterior: U_hat_m = (au I + A_U_m)^{-1} (bu_m + B_U_m), C_U_m = inverse
+Damping 0.1, tol 1e-5 on overlap diffs, 25..500 iterations (l:44-55).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _posterior(A, B, a0, b0):
+    """Batched Gaussian posterior: for each row m solve
+    (a0 I + A[m]) r = (b0[m] + B[m]); C[m] = (a0 I + A[m])^{-1}.
+    A: (M,K,K), B: (M,K), b0: (M,K), a0 scalar."""
+    K = B.shape[-1]
+    M = A.shape[0]
+    prec = a0 * jnp.eye(K)[None] + A
+    C = jnp.linalg.inv(prec)
+    r = jnp.einsum("mkl,ml->mk", C, b0 + B)
+    return r, C
+
+
+def vamp_matrix_factorization(au, av, bu, bv, ax, bx, model="UV",
+                              max_iter=500, min_iter=25, tol=1e-5,
+                              damping=0.1):
+    """Run the VAMP matrix-factorization solver.
+
+    Parameters: natural-parameter messages on u (M,K), v (N,K) and the
+    observation channel x (M,N) with precision ax (scalar) and bx (M,N).
+    Returns (rz_u (M,K), vz_u scalar, rz_v (N,K), vz_v scalar)."""
+    bu = jnp.asarray(bu)
+    bv = jnp.asarray(bv)
+    M, K = bu.shape
+    N = bv.shape[0]
+
+    Y = bx / ax
+    Delta = jnp.maximum(1.0 / ax, 1e-2)
+    S = (Y / Delta).T          # (N, M)
+    S2 = S**2
+    R = S2 - 1.0 / Delta       # (N, M)
+
+    def A_update(S2_, R_, hat_other, C_other):
+        # A_self[m] = (sum_j (S2-R)_jm hat_j hat_j^T - sum_j R_jm C_j) / N
+        VV = jnp.einsum("jk,jl->jkl", hat_other, hat_other)
+        A = (jnp.einsum("jm,jkl->mkl", S2_ - R_, VV)
+             - jnp.einsum("jm,jkl->mkl", R_, C_other)) / N
+        return A
+
+    sqrtN = jnp.sqrt(1.0 * N)
+
+    # initialization (reference l:130-245): hats at 0.1, covs at 0.01 I
+    V_hat = 0.1 * jnp.ones((N, K))
+    C_V = 0.01 * jnp.tile(jnp.eye(K), (N, 1, 1))
+    if model == "XX":
+        U_hat, C_U = V_hat, C_V
+    else:
+        U_hat = 0.1 * jnp.ones((M, K))
+        C_U = 0.01 * jnp.tile(jnp.eye(K), (M, 1, 1))
+
+    # first A/B without Onsager terms (reference l:196-201, 240-245)
+    B_V = jnp.einsum("jm,mk->jk", S, U_hat) / sqrtN
+    A_V = (jnp.einsum("jm,mkl->jkl", S2 - R,
+                      jnp.einsum("mk,ml->mkl", U_hat, U_hat))
+           - jnp.einsum("jm,mkl->jkl", R, C_U)) / N
+    B_U = jnp.einsum("jm,jk->mk", S, V_hat) / sqrtN
+    A_U = jnp.abs(A_update(S2, R, V_hat, C_V))
+
+    U_ons, V_ons = U_hat, V_hat
+    V_hat, C_V = _posterior(A_V, B_V, av, bv)
+    if model == "XX":
+        U_hat, C_U = V_hat, C_V
+    else:
+        U_hat, C_U = _posterior(A_U, B_U, au, bu)
+
+    q_v = V_hat.T @ V_hat / N
+    q_u = U_hat.T @ U_hat / M
+
+    def overlap_diff(q_v_new, q_v_old, q_u_new, q_u_old):
+        dv = jnp.linalg.norm(q_v_new - q_v_old)
+        du = jnp.linalg.norm(q_u_new - q_u_old)
+        return jnp.maximum(dv, du) / (K**2)
+
+    def damp(new, old):
+        return (1.0 - damping) * new + damping * old
+
+    def cond(carry):
+        (U_hat, C_U, V_hat, C_V, A_U, B_U, A_V, B_V,
+         q_u, q_v, step, diff) = carry
+        return (step <= max_iter) & ((step <= min_iter) | (diff >= tol))
+
+    def body(carry):
+        (U_hat, C_U, V_hat, C_V, A_U, B_U, A_V, B_V,
+         q_u, q_v, step, diff) = carry
+        # A_V, B_V from U side (with Onsager on V)
+        A_V_new = damp((jnp.einsum(
+            "jm,mkl->jkl", S2 - R,
+            jnp.einsum("mk,ml->mkl", U_hat, U_hat))
+            - jnp.einsum("jm,mkl->jkl", R, C_U)) / N, A_V)
+        B_V_new = damp(
+            jnp.einsum("jm,mk->jk", S, U_hat) / sqrtN
+            - jnp.einsum("jm,mkl,jl->jk", S2, C_U, V_hat) / N, B_V)
+        # A_U, B_U from V side (with Onsager on U)
+        A_U_new = damp(A_update(S2, R, V_hat, C_V), A_U)
+        B_U_new = damp(
+            jnp.einsum("jm,jk->mk", S, V_hat) / sqrtN
+            - jnp.einsum("jm,jkl,ml->mk", S2, C_V, U_hat) / N, B_U)
+
+        V_hat_new, C_V_new = _posterior(A_V_new, B_V_new, av, bv)
+        if model == "XX":
+            U_hat_new, C_U_new = V_hat_new, C_V_new
+        else:
+            U_hat_new, C_U_new = _posterior(A_U_new, B_U_new, au, bu)
+
+        q_v_new = V_hat_new.T @ V_hat_new / N
+        q_u_new = U_hat_new.T @ U_hat_new / M
+        d = overlap_diff(q_v_new, q_v, q_u_new, q_u)
+        diff_new = jnp.where(step > min_iter, d, diff)
+        return (U_hat_new, C_U_new, V_hat_new, C_V_new,
+                A_U_new, B_U_new, A_V_new, B_V_new,
+                q_u_new, q_v_new, step + 1, diff_new)
+
+    carry = (U_hat, C_U, V_hat, C_V, A_U, B_U, A_V, B_V,
+             q_u, q_v, jnp.asarray(0), jnp.asarray(10.0 * tol))
+    (U_hat, C_U, V_hat, C_V, *_rest) = jax.lax.while_loop(cond, body, carry)
+
+    rz_u = U_hat
+    rz_v = V_hat
+    vz_u = jnp.mean(jnp.trace(C_U, axis1=1, axis2=2)) / K
+    vz_v = jnp.mean(jnp.trace(C_V, axis1=1, axis2=2)) / K
+    return rz_u, vz_u, rz_v, vz_v
+
+
+def se_matrix_factorization(au, av, ax, model, K, N, M,
+                            max_iter=200, tol=1e-6):
+    """State evolution of the low-rank factorization, Bayes-optimal fixed
+    point of the overlap recursion (reference SE_matrix_factorization.py:
+    m_{t+1} solved from the KxK matrix recursion; for isotropic Gaussian
+    priors the recursion is scalar per mode)."""
+    # isotropic scalar recursion: q_u, q_v in [0, tau]
+    tau_u = 1.0 / au
+    tau_v = 1.0 / av
+    Delta = jnp.maximum(1.0 / ax, 1e-2)
+    alpha = M / N
+
+    def body(i, qs):
+        q_u, q_v = qs
+        # effective SNRs
+        m_v_hat = alpha * q_u / Delta
+        q_v_new = tau_v * m_v_hat * tau_v / (1.0 + m_v_hat * tau_v)
+        m_u_hat = q_v_new / Delta
+        q_u_new = tau_u * m_u_hat * tau_u / (1.0 + m_u_hat * tau_u)
+        return (q_u_new, q_v_new)
+
+    q_u, q_v = jax.lax.fori_loop(
+        0, max_iter, body, (0.01 * tau_u, 0.01 * tau_v))
+    vz_u = tau_u - q_u
+    vz_v = tau_v - q_v
+    if model == "XX":
+        return vz_v
+    return vz_u, vz_v

@@ -144,7 +144,10 @@ class Model:
 
 def _model_flatten(model):
     children = tuple(model.factors)
-    return children, model
+    # aux must be one shared skeleton object across flatten/unflatten round
+    # trips, otherwise vmap/jit tree-prefix matching and cache hits break.
+    aux = getattr(model, "_aux_ref", model)
+    return children, aux
 
 
 def _model_unflatten(aux, children):
@@ -152,6 +155,7 @@ def _model_unflatten(aux, children):
     # structural skeleton. Node identity changes but indices stay valid.
     model = object.__new__(Model)
     model.__dict__.update(aux.__dict__)
+    model._aux_ref = aux
     new_nodes = list(aux.nodes)
     factors = list(children)
     fi = 0
