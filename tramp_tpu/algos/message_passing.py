@@ -148,18 +148,68 @@ class MessagePassing:
         "Per-trace auxiliary data (e.g. second moments for SE)."
         return None
 
-    def _sweep(self, model, state, damp):
+    def _msg_target(self, s):
+        "Node index receiving the message in slot s."
+        e, d = divmod(s, 2)
+        ui, vi = self.edges[e]
+        return vi if d == FWD else ui
+
+    def _edge_objective(self, e, state):
+        "Edge term of the Bethe objective: variable objective of fwd+bwd."
+        v_idx = self.edge_variable[e]
+        msgs = [state[slot(e, FWD)], state[slot(e, BWD)]]
+        post = {k: sum(m[k] for m in msgs) for k in self.message_keys}
+        return self.variable_objective(self.nodes[v_idx], v_idx, post)
+
+    def _adaptive_update(self, state, s, new_msg, is_first, n_max=10):
+        """Bethe-objective backtracking: accept new = old + beta*(new-old)
+        with the largest beta in {1, 1/2, ..., 1/2^(n_max-1)} for which the
+        local objective change dA >= 0; keep old otherwise.
+        Reference message_passing.py:151-185 (compute_adaptive_damping)."""
+        e, _ = divmod(s, 2)
+        target_i = self._msg_target(s)
+        old_msg = state[s]
+
+        def A_of(msg):
+            st = list(state)
+            st[s] = msg
+            return self.node_objective_at(target_i, st) \
+                - self._edge_objective(e, st)
+
+        A_old = A_of(old_msg)
+        accepted = old_msg
+        # smallest beta first so that the largest beta with dA >= 0 wins —
+        # identical to the reference's first-accept scan from beta=1 down.
+        for n in reversed(range(n_max)):
+            beta = 0.5**n
+            cand = {k: old_msg[k] + beta * (new_msg[k] - old_msg[k])
+                    for k in self.message_keys}
+            ok = A_of(cand) - A_old >= 0
+            accepted = {
+                k: jnp.where(ok, cand[k], accepted[k])
+                for k in self.message_keys
+            }
+        # first iteration: no damping (reference l:131-132, 153-154)
+        return {
+            k: jnp.where(is_first, new_msg[k], accepted[k])
+            for k in self.message_keys
+        }
+
+    def _sweep(self, model, state, damp, adaptive=False, is_first=False):
         "One forward + backward sweep. Returns new state tuple."
         aux = self._prepare(model)
         state = list(state)
 
         def write(updates):
             for s, msg in updates.items():
-                d = damp[s]
-                if d:
-                    old = state[s]
-                    msg = {k: d * old[k] + (1.0 - d) * msg[k]
-                           for k in self.message_keys}
+                if adaptive:
+                    msg = self._adaptive_update(state, s, msg, is_first)
+                else:
+                    d = damp[s]
+                    if d:
+                        old = state[s]
+                        msg = {k: d * old[k] + (1.0 - d) * msg[k]
+                               for k in self.message_keys}
                 state[s] = msg
 
         # forward pass
@@ -207,27 +257,30 @@ class MessagePassing:
         else:
             self.state = self.init_state(initializer)
             self.n_iter = 0
-        damp = self._damping_per_slot(damping)
+        adaptive = damping == "adaptive"
+        damp = self._damping_per_slot(None if adaptive else damping)
 
         if callback is None:
-            self._iterate_compiled(max_iter, damp, tol, check_nan)
+            self._iterate_compiled(max_iter, damp, tol, check_nan, adaptive)
         else:
-            self._iterate_python(max_iter, damp, callback)
+            self._iterate_python(max_iter, damp, callback, adaptive)
         return self
 
-    def _get_step(self, damp, key):
-        k = ("step", damp, key)
+    def _get_step(self, damp, key, adaptive=False):
+        k = ("step", damp, key, adaptive)
         if k not in self._compiled:
-            def step(model, state):
-                new_state = self._sweep(model, state, damp)
+            def step(model, state, is_first):
+                new_state = self._sweep(model, state, damp,
+                                        adaptive=adaptive, is_first=is_first)
                 return new_state
             self._compiled[k] = jax.jit(step)
         return self._compiled[k]
 
-    def _iterate_python(self, max_iter, damp, callback):
-        step = self._get_step(damp, "py")
+    def _iterate_python(self, max_iter, damp, callback, adaptive=False):
+        step = self._get_step(damp, "py", adaptive)
         for i in range(max_iter):
-            new_state = step(self.model, self.state)
+            new_state = step(self.model, self.state,
+                             jnp.asarray(self.n_iter == 0))
             if bool(self._all_finite(new_state)):
                 self.state = new_state
             else:
@@ -237,17 +290,20 @@ class MessagePassing:
             if stop:
                 break
 
-    def _iterate_compiled(self, max_iter, damp, tol, check_nan):
-        k = ("loop", damp, bool(check_nan))
+    def _iterate_compiled(self, max_iter, damp, tol, check_nan,
+                          adaptive=False):
+        k = ("loop", damp, bool(check_nan), adaptive)
         if k not in self._compiled:
-            def run(model, state, max_iter, tol):
+            def run(model, state, max_iter, tol, n_iter0):
                 def cond(carry):
                     state, old_m, i, done = carry
                     return (~done) & (i < max_iter)
 
                 def body(carry):
                     state, old_m, i, done = carry
-                    new_state = self._sweep(model, state, damp)
+                    new_state = self._sweep(
+                        model, state, damp, adaptive=adaptive,
+                        is_first=(i + n_iter0 == 0))
                     ok = self._all_finite(new_state) if check_nan else True
                     new_state = jax.tree.map(
                         lambda n, o: jnp.where(ok, n, o), new_state, state)
@@ -264,8 +320,8 @@ class MessagePassing:
 
             self._compiled[k] = jax.jit(run, static_argnames=())
         state, i = self._compiled[k](
-            self.model, self.state, jnp.asarray(max_iter), jnp.asarray(
-                self._tol_value(tol)))
+            self.model, self.state, jnp.asarray(max_iter),
+            jnp.asarray(self._tol_value(tol)), jnp.asarray(self.n_iter))
         self.state = state
         self.n_iter += int(i)
 
