@@ -161,3 +161,31 @@ def test_ep_adaptive_damping():
     r = np.asarray(ep.get_variable_data("x")["r"])
     mse = float(np.mean((r - scenario.x_true["x"]) ** 2))
     assert mse < 0.25
+
+
+def test_checkpoint_save_load(tmp_path):
+    """save_state/load_state round-trips the message state; resuming from a
+    checkpoint matches an uninterrupted run."""
+    model = glm_generative(
+        N=80, alpha=0.6, ensemble_type="gaussian",
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=0.4, output_var=1e-2, key=jax.random.PRNGKey(5))
+    scenario = BayesOptimalScenario(model, x_ids=["x"])
+    scenario.setup(seed=2)
+
+    from tramp_tpu.algos import ExpectationPropagation as EP
+    path = str(tmp_path / "ckpt.npz")
+
+    ep1 = EP(scenario.student)
+    ep1.iterate(max_iter=5, damping=0.1, tol=0.0)
+    ep1.save_state(path)
+    ep1.iterate(max_iter=10, damping=0.1, tol=0.0, warm_start=True)
+    r_full = np.asarray(ep1.get_variable_data("x")["r"])
+
+    ep2 = EP(scenario.student)
+    ep2.load_state(path)
+    assert ep2.n_iter == 5
+    ep2.iterate(max_iter=10, damping=0.1, tol=0.0, warm_start=True)
+    r_resumed = np.asarray(ep2.get_variable_data("x")["r"])
+
+    np.testing.assert_allclose(r_resumed, r_full, rtol=1e-12)

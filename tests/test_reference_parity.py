@@ -1,0 +1,353 @@
+"""Numerical parity against the actual upstream reference implementation.
+
+These tests import /root/reference (run under a networkx-3 shim, see
+reference_oracle.py) and compare tramp_tpu's factor posteriors, log
+partitions, state-evolution errors, and full EP/SE fixed points against the
+reference's, elementwise in float64, on identical inputs (same W, same y).
+Skipped when the reference checkout is unavailable.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import reference_available, load_reference
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available")
+
+
+# ---------------------------------------------------------------------------
+# factor-level parity: posteriors / log partitions on a grid of messages
+# ---------------------------------------------------------------------------
+
+AZ, AX = 1.7, 2.3
+RNG = np.random.RandomState(0)
+BZ = RNG.randn(12)
+BX = RNG.randn(12)
+
+
+def _prior_pairs():
+    ref = load_reference()
+    import tramp.priors as rp
+    import tramp_tpu.priors as mp
+    n = 12
+    yield (mp.GaussianPrior(size=n, mean=0.3, var=1.5),
+           rp.GaussianPrior(size=n, mean=0.3, var=1.5))
+    yield (mp.GaussBernoulliPrior(size=n, rho=0.3, mean=0.1, var=2.0),
+           rp.GaussBernoulliPrior(size=n, rho=0.3, mean=0.1, var=2.0))
+    yield (mp.BinaryPrior(size=n, p_pos=0.7),
+           rp.BinaryPrior(size=n, p_pos=0.7))
+    yield (mp.GaussianMixturePrior(size=n, probs=[0.2, 0.8],
+                                   means=[-1.0, 0.5], vars=[0.5, 2.0]),
+           rp.GaussianMixturePrior(size=n, probs=[0.2, 0.8],
+                                   means=[-1, 0.5], vars=[0.5, 2.0]))
+    yield (mp.PositivePrior(size=n), rp.PositivePrior(size=n))
+    yield (mp.ExponentialPrior(size=n, mean=1.3),
+           rp.ExponentialPrior(size=n, mean=1.3))
+    yield (mp.MAP_L1NormPrior(size=n, gamma=1.2),
+           rp.MAP_L1NormPrior(size=n, gamma=1.2))
+
+
+def test_prior_posterior_parity():
+    load_reference()
+    for mine, ref in _prior_pairs():
+        r_m, v_m = mine.compute_forward_posterior(AX, jnp.asarray(BX))
+        r_r, v_r = ref.compute_forward_posterior(AX, BX)
+        np.testing.assert_allclose(
+            np.asarray(r_m), np.asarray(r_r), rtol=1e-7, atol=1e-9,
+            err_msg=f"r mismatch for {type(mine).__name__}")
+        np.testing.assert_allclose(
+            np.asarray(v_m), np.asarray(v_r), rtol=1e-7, atol=1e-9,
+            err_msg=f"v mismatch for {type(mine).__name__}")
+
+
+def test_prior_log_partition_parity():
+    load_reference()
+    for mine, ref in _prior_pairs():
+        A_m = float(mine.compute_log_partition(AX, jnp.asarray(BX)))
+        A_r = float(ref.compute_log_partition(AX, BX))
+        np.testing.assert_allclose(
+            A_m, A_r, rtol=1e-7,
+            err_msg=f"logZ mismatch for {type(mine).__name__}")
+
+
+def _activation_pairs():
+    load_reference()
+    from tramp.channels import (
+        SgnChannel, AbsChannel, ReluChannel, LeakyReluChannel,
+        HardTanhChannel, SymmetricDoorChannel)
+    import tramp_tpu.channels as mc
+    yield mc.SgnChannel(), SgnChannel()
+    yield mc.AbsChannel(), AbsChannel()
+    yield mc.ReluChannel(), ReluChannel()
+    yield mc.LeakyReluChannel(slope=0.3), LeakyReluChannel(slope=0.3)
+    yield mc.HardTanhChannel(), HardTanhChannel()
+    yield mc.SymmetricDoorChannel(width=0.8), SymmetricDoorChannel(width=0.8)
+
+
+def test_activation_channel_posterior_parity():
+    for mine, ref in _activation_pairs():
+        name = type(mine).__name__
+        rz_m, vz_m = mine.compute_backward_posterior(
+            AZ, jnp.asarray(BZ), AX, jnp.asarray(BX))
+        rz_r, vz_r = ref.compute_backward_posterior(AZ, BZ, AX, BX)
+        np.testing.assert_allclose(np.asarray(rz_m), rz_r, rtol=1e-6,
+                                   atol=1e-9, err_msg=f"bwd r {name}")
+        np.testing.assert_allclose(np.asarray(vz_m), vz_r, rtol=1e-6,
+                                   atol=1e-9, err_msg=f"bwd v {name}")
+        rx_m, vx_m = mine.compute_forward_posterior(
+            AZ, jnp.asarray(BZ), AX, jnp.asarray(BX))
+        rx_r, vx_r = ref.compute_forward_posterior(AZ, BZ, AX, BX)
+        np.testing.assert_allclose(np.asarray(rx_m), rx_r, rtol=1e-6,
+                                   atol=1e-9, err_msg=f"fwd r {name}")
+        np.testing.assert_allclose(np.asarray(vx_m), vx_r, rtol=1e-6,
+                                   atol=1e-9, err_msg=f"fwd v {name}")
+
+
+def test_linear_channel_parity():
+    load_reference()
+    from tramp.channels import LinearChannel as RefLinear
+    from tramp_tpu.channels import LinearChannel
+    rng = np.random.RandomState(3)
+    M, N = 9, 15
+    W = rng.randn(M, N) / np.sqrt(N)
+    az, ax = 1.3, 0.7
+    bz, bx = rng.randn(N), rng.randn(M)
+    mine = LinearChannel(jnp.asarray(W))
+    ref = RefLinear(W)
+    for direction in ("forward", "backward"):
+        f_m = getattr(mine, f"compute_{direction}_posterior")
+        f_r = getattr(ref, f"compute_{direction}_posterior")
+        r_m, v_m = f_m(az, jnp.asarray(bz), ax, jnp.asarray(bx))
+        r_r, v_r = f_r(az, bz, ax, bx)
+        np.testing.assert_allclose(np.asarray(r_m), r_r, rtol=1e-8,
+                                   err_msg=f"{direction} r")
+        np.testing.assert_allclose(np.asarray(v_m), v_r, rtol=1e-8,
+                                   err_msg=f"{direction} v")
+    A_m = float(mine.compute_log_partition(
+        az, jnp.asarray(bz), ax, jnp.asarray(bx)))
+    A_r = float(ref.compute_log_partition(az, bz, ax, bx))
+    np.testing.assert_allclose(A_m, A_r, rtol=1e-8)
+
+
+def test_likelihood_parity():
+    load_reference()
+    import tramp.likelihoods as rl
+    import tramp_tpu.likelihoods as ml
+    rng = np.random.RandomState(4)
+    y_cont = rng.randn(12)
+    y_sgn = np.sign(rng.randn(12))
+    y_abs = np.abs(rng.randn(12))
+    pairs = [
+        (ml.GaussianLikelihood(y=jnp.asarray(y_cont), var=0.5),
+         rl.GaussianLikelihood(y=y_cont, var=0.5)),
+        (ml.SgnLikelihood(y=jnp.asarray(y_sgn)),
+         rl.SgnLikelihood(y=y_sgn)),
+        (ml.AbsLikelihood(y=jnp.asarray(y_abs)),
+         rl.AbsLikelihood(y=y_abs)),
+        (ml.ModulusLikelihood(y=jnp.asarray(y_abs)),
+         rl.ModulusLikelihood(y=y_abs)),
+    ]
+    for mine, ref in pairs:
+        name = type(mine).__name__
+        if name == "ModulusLikelihood":
+            # complex z packed as (2, n) real arrays
+            bz = RNG.randn(2, 12)
+            r_m, v_m = mine.compute_backward_posterior(AZ, jnp.asarray(bz),
+                                                       mine.y)
+            r_r, v_r = ref.compute_backward_posterior(AZ, bz, np.asarray(y_abs))
+        else:
+            r_m, v_m = mine.compute_backward_posterior(AZ, jnp.asarray(BZ),
+                                                       mine.y)
+            r_r, v_r = ref.compute_backward_posterior(AZ, BZ, ref.y)
+        np.testing.assert_allclose(np.asarray(r_m), np.asarray(r_r),
+                                   rtol=1e-6, atol=1e-9,
+                                   err_msg=f"r mismatch {name}")
+        np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_r),
+                                   rtol=1e-6, atol=1e-9,
+                                   err_msg=f"v mismatch {name}")
+
+
+# ---------------------------------------------------------------------------
+# state-evolution parity: ensemble-averaged errors (quadrature paths)
+# ---------------------------------------------------------------------------
+
+def test_se_error_parity_activations():
+    for mine, ref in _activation_pairs():
+        name = type(mine).__name__
+        az, ax, tau_z = 2.0, 1.1, 1.0
+        e_m = float(mine.compute_backward_error(az, ax, tau_z))
+        e_r = float(ref.compute_backward_error(az, ax, tau_z))
+        np.testing.assert_allclose(e_m, e_r, rtol=1e-5,
+                                   err_msg=f"bwd error {name}")
+        f_m = float(mine.compute_forward_error(az, ax, tau_z))
+        f_r = float(ref.compute_forward_error(az, ax, tau_z))
+        np.testing.assert_allclose(f_m, f_r, rtol=1e-5,
+                                   err_msg=f"fwd error {name}")
+
+
+def test_se_error_parity_priors():
+    load_reference()
+    import tramp.priors as rp
+    import tramp_tpu.priors as mp
+    n = 12
+    pairs = [
+        (mp.GaussBernoulliPrior(size=n, rho=0.3),
+         rp.GaussBernoulliPrior(size=n, rho=0.3)),
+        (mp.BinaryPrior(size=n, p_pos=0.6),
+         rp.BinaryPrior(size=n, p_pos=0.6)),
+        (mp.GaussianPrior(size=n, mean=0.2, var=1.4),
+         rp.GaussianPrior(size=n, mean=0.2, var=1.4)),
+    ]
+    for mine, ref in pairs:
+        for ax in (0.5, 2.0, 10.0):
+            e_m = float(mine.compute_forward_error(ax))
+            e_r = float(ref.compute_forward_error(ax))
+            np.testing.assert_allclose(
+                e_m, e_r, rtol=1e-6,
+                err_msg=f"fwd error {type(mine).__name__} ax={ax}")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end parity: EP fixed point on the benchmark GLM, identical (W, y)
+# ---------------------------------------------------------------------------
+
+def _build_twin_glms(N=120, alpha=0.7, rho=0.3, noise_var=1e-2, seed=11):
+    ref = load_reference()
+    from tramp.models import glm_generative  # noqa: F401 (import check)
+    from tramp.channels import LinearChannel as RefLinear
+    from tramp.channels import GaussianChannel as RefGaussianChannel
+    from tramp.priors import GaussBernoulliPrior as RefGB
+    from tramp.likelihoods import GaussianLikelihood as RefGaussianLik
+    from tramp.base import Variable as RefVariable  # noqa: F401
+    from tramp.variables import SISOVariable as RV, SILeafVariable as RO
+
+    import tramp_tpu as tt
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.channels import LinearChannel, GaussianChannel
+
+    rng = np.random.RandomState(seed)
+    M = int(alpha * N)
+    W = rng.randn(M, N) / np.sqrt(N)
+    # teacher sample drawn with numpy so both sides see identical data
+    x0 = (rng.rand(N) < rho) * rng.randn(N)
+    y = W @ x0 + np.sqrt(noise_var) * rng.randn(M)
+
+    ref_model = (
+        RefGB(size=N, rho=rho) @ RV(id="x") @
+        RefLinear(W) @ RV(id="z") @
+        RefGaussianChannel(var=noise_var) @ RO(id="y")
+    ).to_model().to_observed({"y": y})
+
+    my_model = (
+        GaussBernoulliPrior(size=N, rho=rho) @ tt.V(id="x") @
+        LinearChannel(jnp.asarray(W)) @ tt.V(id="z") @
+        GaussianChannel(var=noise_var) @ tt.O(id="y")
+    ).to_model().to_observed({"y": jnp.asarray(y)})
+
+    return my_model, ref_model, x0
+
+
+def test_ep_fixed_point_parity():
+    my_model, ref_model, x0 = _build_twin_glms()
+    ref = load_reference()
+    from tramp.algos import ExpectationPropagation as RefEP
+    import tramp_tpu as tt
+
+    n_iter = 80
+    ref_ep = RefEP(ref_model)
+    ref_ep.iterate(max_iter=n_iter, damping=0.1,
+                   callback=lambda *a: False)
+    ref_data = ref_ep.get_variable_data("x")
+
+    my_ep = tt.ExpectationPropagation(my_model)
+    my_ep.iterate(max_iter=n_iter, damping=0.1, tol=0.0)
+    my_data = my_ep.get_variable_data("x")
+
+    np.testing.assert_allclose(
+        np.asarray(my_data["r"]), ref_data["r"], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(my_data["v"]), ref_data["v"], rtol=1e-5, atol=1e-7)
+
+    # Bethe log evidence parity
+    A_ref = float(ref_ep.log_evidence())
+    A_my = float(my_ep.log_evidence())
+    np.testing.assert_allclose(A_my, A_ref, rtol=1e-5)
+
+
+def test_ep_sgn_output_parity():
+    "Perceptron-style GLM (sgn output) fixed-point parity."
+    load_reference()
+    from tramp.channels import LinearChannel as RefLinear
+    from tramp.priors import GaussianPrior as RefGaussPrior
+    from tramp.likelihoods import SgnLikelihood as RefSgnLik
+    from tramp.variables import SISOVariable as RV, SILeafVariable as RO
+    from tramp.algos import ExpectationPropagation as RefEP
+
+    import tramp_tpu as tt
+    from tramp_tpu.priors import GaussianPrior
+    from tramp_tpu.channels import LinearChannel
+    from tramp_tpu.likelihoods import SgnLikelihood
+
+    rng = np.random.RandomState(21)
+    N, M = 60, 90
+    W = rng.randn(M, N) / np.sqrt(N)
+    x0 = rng.randn(N)
+    y = np.sign(W @ x0)
+
+    ref_model = (
+        RefGaussPrior(size=N) @ RV(id="x") @
+        RefLinear(W) @ RV(id="z") @ RefSgnLik(y=y)
+    ).to_model()
+    my_model = (
+        GaussianPrior(size=N) @ tt.V(id="x") @
+        LinearChannel(jnp.asarray(W)) @ tt.V(id="z") @
+        SgnLikelihood(y=jnp.asarray(y))
+    ).to_model()
+
+    n_iter = 60
+    ref_ep = RefEP(ref_model)
+    ref_ep.iterate(max_iter=n_iter, damping=0.2,
+                   callback=lambda *a: False)
+    ref_data = ref_ep.get_variable_data("x")
+    my_ep = tt.ExpectationPropagation(my_model)
+    my_ep.iterate(max_iter=n_iter, damping=0.2, tol=0.0)
+    my_data = my_ep.get_variable_data("x")
+
+    np.testing.assert_allclose(
+        np.asarray(my_data["r"]), ref_data["r"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(my_data["v"]), ref_data["v"], rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# state evolution end-to-end parity (Marchenko-Pastur GLM)
+# ---------------------------------------------------------------------------
+
+def test_se_fixed_point_parity():
+    load_reference()
+    from tramp.models import glm_state_evolution
+    from tramp.algos import StateEvolution as RefSE
+
+    from tramp_tpu import glm_state_evolution as my_glm_se
+    from tramp_tpu import StateEvolution
+
+    alpha, rho = 0.6, 0.25
+    ref_model = glm_state_evolution(
+        alpha=alpha, prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=rho, output_var=1e-2)
+    my_model = my_glm_se(
+        alpha=alpha, prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=rho, output_var=1e-2)
+
+    n_iter = 50
+    ref_se = RefSE(ref_model)
+    ref_se.iterate(max_iter=n_iter, callback=lambda *a: False)
+    ref_v = float(ref_se.get_variable_data("x")["v"])
+
+    my_se = StateEvolution(my_model)
+    my_se.iterate(max_iter=n_iter, tol=0.0)
+    my_v = float(my_se.get_variable_data("x")["v"])
+
+    np.testing.assert_allclose(my_v, ref_v, rtol=1e-5)

@@ -16,6 +16,14 @@ def _unwrap(msgs, n):
 
 class ExpectationPropagation(MessagePassing):
 
+    # reference default EP callback EarlyStoppingEP (callbacks.py:250-286):
+    # stop on relative-r change < tol; rollback + stop when the relative
+    # change jumps above 0.2 after 5 iterations (catches the reset cycle
+    # after perfect recovery, where precisions hit AMAX).
+    default_stop_kind = "r"
+    rollback_increase = 0.2
+    wait_increase = 5
+
     def __init__(self, model):
         model.init_shapes()
         super().__init__(model, message_keys=["a", "b"])
@@ -53,21 +61,6 @@ class ExpectationPropagation(MessagePassing):
     def update(self, variable, post):
         a_hat, b_hat = post["a"], post["b"]
         return dict(r=b_hat / a_hat, v=1.0 / a_hat)
-
-    # -- convergence: max relative change of r (EarlyStoppingEP l:250-286) -
-    def _convergence_metric(self, model, state):
-        rs = []
-        for i in self.variable_indices:
-            post = self._posterior(i, state)
-            rs.append(post["b"] / post["a"])
-        return tuple(rs)
-
-    def _convergence_delta(self, new_m, old_m):
-        def norm(x):
-            return jnp.sqrt(jnp.mean(x**2))
-        tols = [norm(n - o) / jnp.maximum(norm(n), 1e-300)
-                for n, o in zip(new_m, old_m)]
-        return jnp.stack(tols).max()
 
     # -- objective ---------------------------------------------------------
     def variable_objective(self, var, v_idx, post):

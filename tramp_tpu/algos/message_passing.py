@@ -37,6 +37,15 @@ def slot(e, direction):
 
 class MessagePassing:
 
+    #: Increase-rollback (reference EarlyStopping, callbacks.py:195-243):
+    #: when the convergence metric increases by more than
+    #: ``rollback_increase`` after ``wait_increase`` iterations, revert to
+    #: the previous state and stop. Enabled for SE (the reference's default
+    #: SE callback), disabled for EP (whose default is a relative-r
+    #: criterion without rollback).
+    rollback_increase = None
+    wait_increase = 5
+
     def __init__(self, model, message_keys):
         if not isinstance(model, Model):
             raise ValueError(f"model {model} is not a Model")
@@ -235,6 +244,58 @@ class MessagePassing:
                 write(self._factor_backward(i, node, state, aux))
         return tuple(state)
 
+    # -- convergence metrics ----------------------------------------------
+    def _metric(self, model, state, kind):
+        """Per-variable stopping metric: posterior v (kind="v", reference
+        EarlyStopping) or posterior r (kind="r", reference EarlyStoppingEP).
+        """
+        out = []
+        for i in self.variable_indices:
+            post = self._posterior(i, state)
+            if kind == "v":
+                out.append(jnp.mean(1.0 / post["a"]))
+            else:
+                out.append(post["b"] / post["a"])
+        return tuple(out)
+
+    def _delta_increase(self, kind, new_m, old_m):
+        """(convergence delta, divergence measure) for the chosen metric:
+        kind="v": max |dv| and max dv (callbacks.py:220-236);
+        kind="r": max relative r change, used for both (callbacks.py:265-277).
+        """
+        if kind == "v":
+            deltas = jnp.stack(
+                [jnp.max(jnp.abs(n - o)) for n, o in zip(new_m, old_m)])
+            incs = jnp.stack(
+                [jnp.max(n - o) for n, o in zip(new_m, old_m)])
+            return deltas.max(), incs.max()
+
+        def norm(x):
+            return jnp.sqrt(jnp.mean(x**2))
+        deltas = jnp.stack(
+            [norm(n - o) / jnp.maximum(norm(n), 1e-300)
+             for n, o in zip(new_m, old_m)])
+        d = deltas.max()
+        return d, d
+
+    def _stop_params(self, early_stop, tol):
+        """Translate an EarlyStopping/EarlyStoppingEP callback (or the
+        engine default) into static parameters for the fused loop:
+        (metric kind, tol, wait_increase, max_increase)."""
+        from .callbacks import EarlyStopping, EarlyStoppingEP
+        if early_stop is not None:
+            if isinstance(early_stop, EarlyStoppingEP):
+                return ("r", early_stop.tol, early_stop.wait_increase,
+                        early_stop.max_increase)
+            if isinstance(early_stop, EarlyStopping):
+                return ("v", early_stop.tol, early_stop.wait_increase,
+                        early_stop.max_increase)
+            raise ValueError(
+                f"early_stop must be EarlyStopping or EarlyStoppingEP, "
+                f"got {early_stop}")
+        return (self.default_stop_kind, tol, self.wait_increase,
+                self.rollback_increase)
+
     # -- finite guard -----------------------------------------------------
     def _all_finite(self, state):
         flags = [jnp.all(jnp.isfinite(msg[k]))
@@ -243,11 +304,15 @@ class MessagePassing:
 
     # -- iterate ----------------------------------------------------------
     def iterate(self, max_iter=200, callback=None, initializer=None,
-                damping=None, warm_start=False, tol=1e-6, check_nan=True):
+                damping=None, warm_start=False, tol=1e-6, check_nan=True,
+                early_stop=None):
         """Run message passing.
 
         Fast path (callback=None): fused jit(while_loop) with early stopping
-        on the convergence criterion and NaN rollback.
+        on the convergence criterion and NaN rollback. ``early_stop`` may be
+        an EarlyStopping/EarlyStoppingEP instance to override the engine's
+        default stopping rule inside the fused loop (mirrors passing the
+        callback in the reference).
         Callback path: Python loop over a jitted single iteration; callbacks
         see the live engine like in the reference.
         """
@@ -261,7 +326,8 @@ class MessagePassing:
         damp = self._damping_per_slot(None if adaptive else damping)
 
         if callback is None:
-            self._iterate_compiled(max_iter, damp, tol, check_nan, adaptive)
+            stop = self._stop_params(early_stop, tol)
+            self._iterate_compiled(max_iter, damp, stop, check_nan, adaptive)
         else:
             self._iterate_python(max_iter, damp, callback, adaptive)
         return self
@@ -290,9 +356,11 @@ class MessagePassing:
             if stop:
                 break
 
-    def _iterate_compiled(self, max_iter, damp, tol, check_nan,
+    def _iterate_compiled(self, max_iter, damp, stop, check_nan,
                           adaptive=False):
-        k = ("loop", damp, bool(check_nan), adaptive)
+        kind, tol, wait_increase, max_increase = stop
+        k = ("loop", damp, bool(check_nan), adaptive, kind,
+             wait_increase, max_increase)
         if k not in self._compiled:
             def run(model, state, max_iter, tol, n_iter0):
                 def cond(carry):
@@ -307,13 +375,21 @@ class MessagePassing:
                     ok = self._all_finite(new_state) if check_nan else True
                     new_state = jax.tree.map(
                         lambda n, o: jnp.where(ok, n, o), new_state, state)
-                    new_m = self._convergence_metric(model, new_state)
-                    delta = self._convergence_delta(new_m, old_m)
+                    new_m = self._metric(model, new_state, kind)
+                    delta, inc = self._delta_increase(kind, new_m, old_m)
                     converged = (i > 0) & (delta < tol)
+                    if max_increase is not None:
+                        # divergence rollback: revert to the previous state
+                        # and stop (reference callbacks.py:232-243, 275-283)
+                        rb = (i > wait_increase) & (inc > max_increase)
+                        new_state = jax.tree.map(
+                            lambda n, o: jnp.where(rb, o, n),
+                            new_state, state)
+                        converged = converged | rb
                     return (new_state, new_m, i + 1,
                             converged | (~jnp.asarray(ok)))
 
-                m0 = self._convergence_metric(model, state)
+                m0 = self._metric(model, state, kind)
                 state, m, i, done = jax.lax.while_loop(
                     cond, body, (state, m0, jnp.asarray(0), jnp.asarray(False)))
                 return state, i
@@ -321,12 +397,9 @@ class MessagePassing:
             self._compiled[k] = jax.jit(run, static_argnames=())
         state, i = self._compiled[k](
             self.model, self.state, jnp.asarray(max_iter),
-            jnp.asarray(self._tol_value(tol)), jnp.asarray(self.n_iter))
+            jnp.asarray(tol), jnp.asarray(self.n_iter))
         self.state = state
         self.n_iter += int(i)
-
-    def _tol_value(self, tol):
-        return tol
 
     # -- data access (reference message_passing.py:265-304) ---------------
     def get_variables_data(self, ids="all"):
@@ -358,6 +431,34 @@ class MessagePassing:
                         record[key] = np.asarray(msg[key])
                 records.append(record)
         return records
+
+    # -- checkpoint / resume ----------------------------------------------
+    # The reference only checkpoints in memory (old_message_dag copy,
+    # message_passing.py:356). The message state here is a pytree of
+    # arrays, so persisting it is a flat .npz: resume = load + iterate
+    # (warm_start=True).
+    def save_state(self, path):
+        "Persist the message state and iteration counter to ``path`` (.npz)."
+        if self.state is None:
+            raise ValueError("message state was never initialized")
+        arrays = {"__n_iter__": np.asarray(self.n_iter)}
+        for s, msg in enumerate(self.state):
+            for key in self.message_keys:
+                arrays[f"s{s}_{key}"] = np.asarray(msg[key])
+        np.savez(path, **arrays)
+
+    def load_state(self, path):
+        """Restore a checkpoint written by ``save_state``. Follow with
+        ``iterate(..., warm_start=True)`` to resume."""
+        data = np.load(path)
+        state = []
+        for s in range(self.n_slots):
+            msg = {key: jnp.asarray(data[f"s{s}_{key}"])
+                   for key in self.message_keys}
+            state.append(msg)
+        self.state = tuple(state)
+        self.n_iter = int(data["__n_iter__"])
+        return self
 
     # -- objective (Bethe free entropy, reference l:306-328) ---------------
     def update_objective(self):

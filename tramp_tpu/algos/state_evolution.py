@@ -16,6 +16,12 @@ def _unwrap_a(msgs, n):
 
 class StateEvolution(MessagePassing):
 
+    # reference default SE callback: EarlyStopping(max_increase=0.2,
+    # wait_increase=5) with rollback (callbacks.py:195-243)
+    default_stop_kind = "v"
+    rollback_increase = 0.2
+    wait_increase = 5
+
     def __init__(self, model):
         model.init_shapes()
         super().__init__(model, message_keys=["a"])
@@ -62,18 +68,6 @@ class StateEvolution(MessagePassing):
     # -- posterior update (reference state_evolution.py:17-19) ------------
     def update(self, variable, post):
         return dict(v=1.0 / post["a"])
-
-    # -- convergence: |dv| < tol (EarlyStopping l:195-243) -----------------
-    def _convergence_metric(self, model, state):
-        vs = []
-        for i in self.variable_indices:
-            post = self._posterior(i, state)
-            vs.append(1.0 / post["a"])
-        return tuple(vs)
-
-    def _convergence_delta(self, new_m, old_m):
-        tols = [jnp.max(jnp.abs(n - o)) for n, o in zip(new_m, old_m)]
-        return jnp.stack(tols).max()
 
     # -- objective ---------------------------------------------------------
     def variable_objective(self, var, v_idx, post):

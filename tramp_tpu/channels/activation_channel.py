@@ -77,6 +77,13 @@ class ActivationChannel(Channel):
         rz, vz, _, _ = self._moments(az, bz, ax, bx)
         return rz, jnp.mean(vz)
 
+    # elementwise SE integrands (no isotropic reduce; see base_channel.py)
+    def scalar_forward_variance(self, az, bz, ax, bx):
+        return self._moments(az, bz, ax, bx)[3]
+
+    def scalar_backward_variance(self, az, bz, ax, bx):
+        return self._moments(az, bz, ax, bx)[1]
+
 
 class TanhChannel(ActivationChannel):
     def __init__(self):

@@ -24,16 +24,30 @@ class Channel(Factor):
         vz = self.compute_backward_error(az, ax, tau_z)
         return compute_a_new(vz, az)
 
+    # Elementwise kernels used inside the (vectorized) SE quadrature
+    # measures. Channels whose posterior applies an isotropic reduction
+    # (mean over elements) MUST override these with non-reducing variants:
+    # the quadrature evaluates f on a grid of nodes at once, so a reduction
+    # inside f would (incorrectly) average across quadrature nodes.
+    def scalar_forward_variance(self, az, bz, ax, bx):
+        rx, vx = self.compute_forward_posterior(az, bz, ax, bx)
+        return vx
+
+    def scalar_backward_variance(self, az, bz, ax, bx):
+        rz, vz = self.compute_backward_posterior(az, bz, ax, bx)
+        return vz
+
+    def scalar_log_partition(self, az, bz, ax, bx):
+        return self.compute_log_partition(az, bz, ax, bx)
+
     def compute_forward_error(self, az, ax, tau_z):
         def variance(bz, bx):
-            rx, vx = self.compute_forward_posterior(az, bz, ax, bx)
-            return vx
+            return self.scalar_forward_variance(az, bz, ax, bx)
         return self.beliefs_measure(az, ax, tau_z, f=variance)
 
     def compute_backward_error(self, az, ax, tau_z):
         def variance(bz, bx):
-            rz, vz = self.compute_backward_posterior(az, bz, ax, bx)
-            return vz
+            return self.scalar_backward_variance(az, bz, ax, bx)
         return self.beliefs_measure(az, ax, tau_z, f=variance)
 
     def compute_forward_overlap(self, az, ax, tau_z):
@@ -46,7 +60,7 @@ class Channel(Factor):
 
     def compute_free_energy(self, az, ax, tau_z):
         def log_partition(bz, bx):
-            return self.compute_log_partition(az, bz, ax, bx)
+            return self.scalar_log_partition(az, bz, ax, bx)
         return self.beliefs_measure(az, ax, tau_z, f=log_partition)
 
     def get_alpha(self):

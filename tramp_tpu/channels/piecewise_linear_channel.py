@@ -45,8 +45,8 @@ class PiecewiseLinearChannel(Channel):
         ps = [region.proba_tau(tau_z) for region in self.regions]
         return sum(p * tau for p, tau in zip(ps, taus))
 
-    def merge_estimates(self, rs, vs, As):
-        "Softmax-weighted mixture of region moments. Reference l:27-37."
+    def _merge_elementwise(self, rs, vs, As):
+        "Softmax-weighted mixture of region moments, no isotropic reduce."
         As = jnp.stack(As, axis=0)
         rs = jnp.stack(rs, axis=0)
         vs = jnp.stack(vs, axis=0)
@@ -56,16 +56,62 @@ class PiecewiseLinearChannel(Channel):
         #   = E[r^2] - E[r]^2 over region weights
         Dr = jnp.sum(ps * rs**2, axis=0) - r**2
         v = jnp.sum(ps * vs, axis=0) + Dr
-        v = jnp.mean(v)
         return r, v
 
+    def merge_estimates(self, rs, vs, As):
+        "Merged posterior with isotropic variance. Reference l:27-37."
+        r, v = self._merge_elementwise(rs, vs, As)
+        return r, jnp.mean(v)
+
+    # elementwise SE integrands (see Channel.scalar_* in base_channel.py)
+    def _region_moments(self, az, bz, ax, bx, direction):
+        rgs = self.regions
+        if direction == "fwd":
+            rs = [rg.forward_mean(az, bz, ax, bx) for rg in rgs]
+            vs = [rg.forward_variance(az, bz, ax, bx) for rg in rgs]
+        else:
+            rs = [rg.backward_mean(az, bz, ax, bx) for rg in rgs]
+            vs = [rg.backward_variance(az, bz, ax, bx) for rg in rgs]
+        As = [rg.log_partitions(az, bz, ax, bx) for rg in rgs]
+        return rs, vs, As
+
+    def scalar_forward_variance(self, az, bz, ax, bx):
+        return self._merge_elementwise(
+            *self._region_moments(az, bz, ax, bx, "fwd"))[1]
+
+    def scalar_backward_variance(self, az, bz, ax, bx):
+        return self._merge_elementwise(
+            *self._region_moments(az, bz, ax, bx, "bwd"))[1]
+
+    def scalar_log_partition(self, az, bz, ax, bx):
+        As = jnp.stack(
+            [rg.log_partitions(az, bz, ax, bx) for rg in self.regions], 0)
+        return logsumexp(As, axis=0)
+
+    def _can_fuse(self, az, bz, ax, bx):
+        "Fused Pallas path needs scalar precisions and a large-ish array."
+        from .. import config
+        return (jnp.ndim(az) == 0 and jnp.ndim(ax) == 0
+                and jnp.ndim(bz) >= 1 and jnp.shape(bz) == jnp.shape(bx)
+                and config.use_pallas(jnp.asarray(bz)))
+
     def compute_forward_posterior(self, az, bz, ax, bx):
+        if self._can_fuse(az, bz, ax, bx):
+            from ..ops import fused_pl_posterior
+            _, _, rx, vx, _ = fused_pl_posterior(
+                az, bz, ax, bx, self.region_specs)
+            return rx, jnp.mean(vx)
         rs = [rg.forward_mean(az, bz, ax, bx) for rg in self.regions]
         vs = [rg.forward_variance(az, bz, ax, bx) for rg in self.regions]
         As = [rg.log_partitions(az, bz, ax, bx) for rg in self.regions]
         return self.merge_estimates(rs, vs, As)
 
     def compute_backward_posterior(self, az, bz, ax, bx):
+        if self._can_fuse(az, bz, ax, bx):
+            from ..ops import fused_pl_posterior
+            rz, vz, _, _, _ = fused_pl_posterior(
+                az, bz, ax, bx, self.region_specs)
+            return rz, jnp.mean(vz)
         rs = [rg.backward_mean(az, bz, ax, bx) for rg in self.regions]
         vs = [rg.backward_variance(az, bz, ax, bx) for rg in self.regions]
         As = [rg.log_partitions(az, bz, ax, bx) for rg in self.regions]

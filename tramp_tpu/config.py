@@ -23,6 +23,25 @@ GH_NODES = 127
 GL_NODES = 65
 
 
+#: Fused Pallas kernels: None = auto (enabled on TPU backends for f32/bf16
+#: arrays of at least PALLAS_MIN_SIZE elements), True/False = force.
+USE_PALLAS = None
+PALLAS_MIN_SIZE = 2048
+
+
+def use_pallas(x):
+    """Decide (at trace time) whether to use the fused Pallas path for
+    array ``x``."""
+    import numpy as np
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if np.prod(x.shape, dtype=int) < PALLAS_MIN_SIZE:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def default_dtype():
     """Default floating dtype: float64 when x64 is enabled, else float32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -68,3 +68,4 @@ def simple_run_experiments(run, **kwargs):
 def save_experiments(run, csv_file, on_progress=None, **kwargs):
     df = run_experiments(run, on_progress, **kwargs)
     df.to_csv(csv_file, index=False)
+    return df

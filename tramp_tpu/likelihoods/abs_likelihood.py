@@ -57,7 +57,11 @@ class AbsLikelihood(Likelihood):
         return gaussian_measure_2d(0.0, jnp.sqrt(tz0), 0.0, 1.0, integrand)
 
     def beliefs_measure(self, az, tau_z, f):
-        mz_hat = az - 1.0 / tau_z
+        # floor at AMIN: the reference asserts az > 1/tau_z strictly
+        # (sgn_likelihood.py:81); at the uninformed point az == 1/tau_z
+        # the measure degenerates, and a tiny positive floor keeps it
+        # defined while preserving the instability of that fixed point
+        mz_hat = jnp.maximum(az - 1.0 / tau_z, 1e-11)
 
         def integrand(z, xi_b):
             bz = mz_hat * z + jnp.sqrt(mz_hat) * xi_b

@@ -119,7 +119,11 @@ class LinearRegionLikelihood:
             0.0, jnp.sqrt(tz0), self.zmin, self.zmax, outer)
 
     def beliefs_measure(self, az, tau_z, f):
-        mz_hat = az - 1.0 / tau_z
+        # floor at AMIN: the reference asserts az > 1/tau_z strictly
+        # (sgn_likelihood.py:81); at the uninformed point az == 1/tau_z
+        # the measure degenerates, and a tiny positive floor keeps it
+        # defined while preserving the instability of that fixed point
+        mz_hat = jnp.maximum(az - 1.0 / tau_z, 1e-11)
         if self.slope == 0:
             def integrand(bz):
                 p = truncated.p(az, bz, self.zmin, self.zmax)

@@ -76,7 +76,11 @@ class SgnLikelihood(Likelihood):
                 + gaussian_measure(0.0, sz_eff, f_neg))
 
     def beliefs_measure(self, az, tau_z, f):
-        mz_hat = az - 1.0 / tau_z
+        # floor at AMIN: the reference asserts az > 1/tau_z strictly
+        # (sgn_likelihood.py:81); at the uninformed point az == 1/tau_z
+        # the measure degenerates, and a tiny positive floor keeps it
+        # defined while preserving the instability of that fixed point
+        mz_hat = jnp.maximum(az - 1.0 / tau_z, 1e-11)
 
         def f_pos(bz):
             return positive.p(az, +bz) * f(bz, +1.0)

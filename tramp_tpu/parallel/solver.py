@@ -40,18 +40,25 @@ class _Solver:
                 state, old_m, i, done = carry
                 return (~done) & (i < max_iter)
 
+            kind = eng.default_stop_kind
+
             def body(carry):
                 state, old_m, i, done = carry
                 new_state = eng._sweep(model, state, damp)
                 ok = eng._all_finite(new_state)
                 new_state = jax.tree.map(
                     lambda n, o: jnp.where(ok, n, o), new_state, state)
-                new_m = eng._convergence_metric(model, new_state)
-                delta = eng._convergence_delta(new_m, old_m)
+                new_m = eng._metric(model, new_state, kind)
+                delta, inc = eng._delta_increase(kind, new_m, old_m)
                 converged = (i > 0) & (delta < tol)
+                # divergence rollback (reference EarlyStopping semantics)
+                rb = (i > eng.wait_increase) & (inc > eng.rollback_increase)
+                new_state = jax.tree.map(
+                    lambda n, o: jnp.where(rb, o, n), new_state, state)
+                converged = converged | rb
                 return (new_state, new_m, i + 1, converged | (~ok))
 
-            m0 = eng._convergence_metric(model, state)
+            m0 = eng._metric(model, state, kind)
             state, _, i, _ = jax.lax.while_loop(
                 cond, body, (state, m0, jnp.asarray(0), jnp.asarray(False)))
             post = {

@@ -13,7 +13,7 @@ dispatched at trace time exactly like the reference's if/elif on the bounds
 """
 import jax.numpy as jnp
 
-from .special import erfcx, log_Phi, norm_cdf, SQRT2, SQRT_PI
+from .special import erf, erfcx, log_Phi, norm_cdf, SQRT2, SQRT_PI
 
 _CLOSE_THRESH = 1e-7
 
@@ -70,7 +70,6 @@ def F0(x, y):
     Dp = jnp.exp(xp**2 - yp**2)
     f_pos = jnp.log(jnp.abs(erfcx(xp) - Dp * erfcx(yp))) - xp**2
     # other: opposite signs (or zero), direct difference is stable
-    from jax.scipy.special import erf
     xo, yo = _sanitize(other, x, y, -1.0, 1.0)
     f_other = jnp.log(jnp.abs(erf(yo) - erf(xo)))
     return _where4(masks, (f_close, f_neg, f_pos, f_other))
@@ -97,7 +96,6 @@ def F1(x, y):
     xp, yp = _sanitize(pos, x, y, 1.0, 2.0)
     Dp = jnp.exp(xp**2 - yp**2)
     f_pos = (1.0 - Dp) / (erfcx(xp) - Dp * erfcx(yp))
-    from jax.scipy.special import erf
     xo, yo = _sanitize(other, x, y, -1.0, 1.0)
     Do = jnp.exp(xo**2 - yo**2)
     f_other = jnp.exp(-xo**2) * (1.0 - Do) / (erf(yo) - erf(xo))
@@ -125,7 +123,6 @@ def F2(x, y):
     xp, yp = _sanitize(pos, x, y, 1.0, 2.0)
     Dp = jnp.exp(xp**2 - yp**2)
     f_pos = (xp - Dp * yp) / (erfcx(xp) - Dp * erfcx(yp))
-    from jax.scipy.special import erf
     xo, yo = _sanitize(other, x, y, -1.0, 1.0)
     Do = jnp.exp(xo**2 - yo**2)
     f_other = jnp.exp(-xo**2) * (xo - Do * yo) / (erf(yo) - erf(xo))
