@@ -63,3 +63,30 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_phase_grid_vmapped_alpha():
+    """alpha is a traced leaf of MarchenkoPasturChannel: a stacked
+    (alpha, rho) grid solves as ONE vmapped SE while_loop, matching
+    per-point sequential runs."""
+    import numpy as np
+    from tramp_tpu import glm_state_evolution, StateEvolution
+    from tramp_tpu.parallel import SESolver, stack_pytrees
+
+    grid = [(0.3, 0.25), (0.6, 0.25), (0.6, 0.5)]
+    models = [
+        glm_state_evolution(
+            alpha=a, prior_type="gauss_bernoulli", output_type="gaussian",
+            prior_rho=r, output_var=1e-2)
+        for a, r in grid
+    ]
+    solver = SESolver(models[0], max_iter=200, tol=1e-10)
+    post, _ = solver.solve_batch(stack_pytrees(models))
+    v_batch = np.asarray(post["x"]["v"]).reshape(len(grid), -1).mean(axis=1)
+
+    for k, (a, r) in enumerate(grid):
+        se = StateEvolution(models[k])
+        se.iterate(max_iter=200, tol=1e-10)
+        v_seq = float(np.mean(np.asarray(se.get_variable_data("x")["v"])))
+        np.testing.assert_allclose(v_batch[k], v_seq, rtol=1e-8,
+                                   err_msg=f"grid point {a},{r}")

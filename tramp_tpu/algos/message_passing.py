@@ -204,10 +204,26 @@ class MessagePassing:
             for k in self.message_keys
         }
 
-    def _sweep(self, model, state, damp, adaptive=False, is_first=False):
+    def _edge_dA(self, state, s, new_msg):
+        """Local Bethe objective change of writing new_msg into slot s
+        (reference compute_dA, message_passing.py:129-149)."""
+        target_i = self._msg_target(s)
+        e, _ = divmod(s, 2)
+
+        def A_of(msg):
+            st = list(state)
+            st[s] = msg
+            return self.node_objective_at(target_i, st) \
+                - self._edge_objective(e, st)
+
+        return A_of(new_msg) - A_of(state[s])
+
+    def _sweep(self, model, state, damp, adaptive=False, is_first=False,
+               update_dA=False):
         "One forward + backward sweep. Returns new state tuple."
         aux = self._prepare(model)
         state = list(state)
+        dA = {}
 
         def write(updates):
             for s, msg in updates.items():
@@ -219,6 +235,8 @@ class MessagePassing:
                         old = state[s]
                         msg = {k: d * old[k] + (1.0 - d) * msg[k]
                                for k in self.message_keys}
+                if update_dA:
+                    dA[s] = self._edge_dA(state, s, msg)
                 state[s] = msg
 
         # forward pass
@@ -242,6 +260,8 @@ class MessagePassing:
                 if node.n_prev == 0:
                     continue
                 write(self._factor_backward(i, node, state, aux))
+        if update_dA:
+            return tuple(state), dA
         return tuple(state)
 
     # -- convergence metrics ----------------------------------------------
@@ -305,7 +325,7 @@ class MessagePassing:
     # -- iterate ----------------------------------------------------------
     def iterate(self, max_iter=200, callback=None, initializer=None,
                 damping=None, warm_start=False, tol=1e-6, check_nan=True,
-                early_stop=None):
+                early_stop=None, update_dA=False):
         """Run message passing.
 
         Fast path (callback=None): fused jit(while_loop) with early stopping
@@ -314,7 +334,9 @@ class MessagePassing:
         default stopping rule inside the fused loop (mirrors passing the
         callback in the reference).
         Callback path: Python loop over a jitted single iteration; callbacks
-        see the live engine like in the reference.
+        see the live engine like in the reference. ``update_dA=True``
+        (reference message_passing.py:330-344) additionally records the
+        per-message local Bethe change in ``self.dA`` each iteration.
         """
         if warm_start:
             if self.state is None:
@@ -325,28 +347,37 @@ class MessagePassing:
         adaptive = damping == "adaptive"
         damp = self._damping_per_slot(None if adaptive else damping)
 
-        if callback is None:
+        if callback is None and not update_dA:
             stop = self._stop_params(early_stop, tol)
             self._iterate_compiled(max_iter, damp, stop, check_nan, adaptive)
         else:
-            self._iterate_python(max_iter, damp, callback, adaptive)
+            callback = callback or (lambda algo, i, max_iter: False)
+            self._iterate_python(max_iter, damp, callback, adaptive,
+                                 update_dA)
         return self
 
-    def _get_step(self, damp, key, adaptive=False):
-        k = ("step", damp, key, adaptive)
+    def _get_step(self, damp, key, adaptive=False, update_dA=False):
+        k = ("step", damp, key, adaptive, update_dA)
         if k not in self._compiled:
             def step(model, state, is_first):
-                new_state = self._sweep(model, state, damp,
-                                        adaptive=adaptive, is_first=is_first)
-                return new_state
+                return self._sweep(model, state, damp,
+                                   adaptive=adaptive, is_first=is_first,
+                                   update_dA=update_dA)
             self._compiled[k] = jax.jit(step)
         return self._compiled[k]
 
-    def _iterate_python(self, max_iter, damp, callback, adaptive=False):
-        step = self._get_step(damp, "py", adaptive)
+    def _iterate_python(self, max_iter, damp, callback, adaptive=False,
+                        update_dA=False):
+        step = self._get_step(damp, "py", adaptive, update_dA)
         for i in range(max_iter):
-            new_state = step(self.model, self.state,
-                             jnp.asarray(self.n_iter == 0))
+            out = step(self.model, self.state,
+                       jnp.asarray(self.n_iter == 0))
+            if update_dA:
+                new_state, dA = out
+                # per-slot local Bethe change, keyed like get_edges_data
+                self.dA = {s: float(v) for s, v in dA.items()}
+            else:
+                new_state = out
             if bool(self._all_finite(new_state)):
                 self.state = new_state
             else:

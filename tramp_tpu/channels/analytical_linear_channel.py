@@ -2,6 +2,7 @@
 Reference tramp/channels/linear/analytical_linear_channel.py and
 tramp/ensembles/marchenko_pastur_ensemble.py."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .base_channel import Channel
@@ -60,15 +61,64 @@ class AnalyticalLinearChannel(Channel):
 
 
 class MarchenkoPasturChannel(AnalyticalLinearChannel):
-    "Closed-form Marchenko-Pastur SE channel. Reference l:68-92."
+    """Closed-form Marchenko-Pastur SE channel. Reference l:68-92.
 
-    _data_fields = ()
-    _meta_fields = ("name", "alpha", "ensemble")
+    ``alpha`` is a pytree *leaf* (all MP transforms are closed-form jnp
+    expressions in alpha), so stacked models over an (alpha, rho) grid vmap
+    into a single compiled SE sweep — the TPU-native phase-diagram axis."""
+
+    _data_fields = ("alpha",)
+    _meta_fields = ("name",)
 
     def __init__(self, alpha, name="W"):
-        from ..ensembles.marchenko_pastur_ensemble import MarchenkoPasturEnsemble
-        super().__init__(ensemble=MarchenkoPasturEnsemble(alpha=alpha),
-                         name=name)
+        self.name = name
+        self.alpha = alpha
+
+    @property
+    def ensemble(self):
+        from ..ensembles.marchenko_pastur_ensemble import (
+            MarchenkoPasturEnsemble)
+        return MarchenkoPasturEnsemble(alpha=float(self.alpha))
+
+    def sample(self, key, Z):
+        N = Z.shape[0]
+        M = int(float(self.alpha) * N)
+        F = jax.random.normal(key, (M, N)) / jnp.sqrt(N)
+        return F @ Z
+
+    def second_moment(self, tau_z):
+        # int z dMP(z) = alpha exactly (bulk mean; the atom at 0 contributes
+        # nothing), so mean_spectrum / alpha = 1
+        return tau_z * jnp.ones_like(jnp.asarray(self.alpha))
+
+    def _F(self, gamma):
+        "(sqrt(gamma z_max + 1) - sqrt(gamma z_min + 1))^2, MP edges."
+        sqa = jnp.sqrt(self.alpha)
+        z_max = (1 + sqa) ** 2
+        z_min = (1 - sqa) ** 2
+        return (jnp.sqrt(gamma * z_max + 1)
+                - jnp.sqrt(gamma * z_min + 1)) ** 2
+
+    def compute_n_eff(self, az, ax):
+        gamma = ax / jnp.maximum(az, 1e-30)
+        F = self._F(gamma)
+        eta = 1 - F / (4 * jnp.maximum(gamma, 1e-30))
+        n_eff = 1.0 - eta
+        return jnp.where(ax == 0, 0.0, n_eff)
+
+    def compute_forward_error(self, az, ax, tau_z):
+        v0 = 1.0 / jnp.maximum(az, 1e-30)
+        n_eff = self.compute_n_eff(az, ax)
+        v = n_eff / (self.alpha * jnp.maximum(ax, 1e-30))
+        return jnp.where(ax == 0, v0, v)
+
+    def compute_mutual_information(self, az, ax, tau_z):
+        gamma = ax / az
+        F = self._F(gamma)
+        S = (jnp.log(1 + self.alpha * gamma - F / 4)
+             + self.alpha * jnp.log(1 + gamma - F / 4)
+             - F / (4 * gamma))
+        return 0.5 * jnp.log(az * tau_z) + 0.5 * S
 
     def compute_precision(self, vz, vx, tau_z):
         ax = 1.0 / vx - 1.0 / vz
