@@ -83,6 +83,10 @@ class _ExplainMixin:
             self.state = self._sweep(self.model, self.state, damp)
         return self
 
+    def iterate(self, max_iter=1, initializer=None, **_ignored):
+        "Eager (un-jitted) sweeps so the prints see concrete values."
+        return self.run(n_iter=max_iter, initializer=initializer)
+
 
 class ExplainMessagePassing(_ExplainMixin, ExpectationPropagation):
     pass
@@ -101,6 +105,13 @@ def _math(node):
 
 class DisplayLatexMessagePassing(ExpectationPropagation):
     "Emit the message schedule as LaTeX lines. Reference display_mp.py:28-80."
+
+    def iterate(self, max_iter=1, **_ignored):
+        latex = self.run()
+        for direction in ("forward", "backward"):
+            for line in latex[direction]:
+                print(line)
+        return self
 
     def run(self):
         self.latex = dict(forward=[], backward=[])

@@ -58,9 +58,15 @@ class _Node:
         if fields is None:
             fields = list(getattr(self, "_data_fields", ())) + \
                 list(getattr(self, "_meta_fields", ()))
-        args = ", ".join(
-            f"{f}={getattr(self, f, None)!r}" for f in fields
-        )
+
+        def fmt(v):
+            # arrays are summarized (the reference's repr_init captures ctor
+            # kwargs before arrays are attached, tramp/base.py:10-31)
+            if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
+                return f"<array {tuple(v.shape)}>"
+            return repr(v)
+
+        args = ", ".join(f"{f}={fmt(getattr(self, f, None))}" for f in fields)
         return f"{type(self).__name__}({args})"
 
 
