@@ -46,6 +46,16 @@ def _install_nx1_shim():
     nx._nx1_shim = True
 
 
+def _install_numpy_shim():
+    "Restore numpy aliases the reference uses that numpy 2 removed."
+    import numpy as np
+
+    if not hasattr(np, "product"):
+        np.product = np.prod
+    if not hasattr(np, "float_"):
+        np.float_ = np.float64
+
+
 def reference_available():
     return os.path.isdir(os.path.join(REFERENCE_PATH, "tramp"))
 
@@ -56,6 +66,7 @@ def load_reference():
     if _tramp is not None:
         return _tramp
     _install_nx1_shim()
+    _install_numpy_shim()
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     import tramp as _t
