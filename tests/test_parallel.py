@@ -90,3 +90,32 @@ def test_phase_grid_vmapped_alpha():
         v_seq = float(np.mean(np.asarray(se.get_variable_data("x")["v"])))
         np.testing.assert_allclose(v_batch[k], v_seq, rtol=1e-8,
                                    err_msg=f"grid point {a},{r}")
+
+
+def test_sharded_phase_grid():
+    "SE (alpha, rho) grid sharded over the data axis == unsharded grid."
+    import numpy as np
+    from tramp_tpu import glm_state_evolution
+    from tramp_tpu.parallel import SESolver
+
+    alphas = np.linspace(0.1, 0.9, 4)
+    rhos = [0.25, 0.5]
+    grid = [(a, r) for a in alphas for r in rhos]
+    models = [
+        glm_state_evolution(
+            alpha=a, prior_type="gauss_bernoulli", output_type="gaussian",
+            prior_rho=r, output_var=1e-2)
+        for a, r in grid
+    ]
+    stacked = stack_pytrees(models)
+    solver = SESolver(models[0], max_iter=100, tol=1e-8)
+    post_u, _ = solver.solve_batch(stacked)
+
+    mesh = make_mesh((8, 1), ("data", "model"))
+    sharded = shard_batched_model(stacked, mesh)
+    with mesh:
+        post_s, _ = solver.solve_batch(sharded)
+        jax.block_until_ready(post_s)
+    np.testing.assert_allclose(
+        np.asarray(post_s["x"]["v"]), np.asarray(post_u["x"]["v"]),
+        rtol=1e-10)
