@@ -28,8 +28,8 @@ N = 10_000
 ALPHA = 0.5
 RHO = 0.25
 NOISE = 1e-2
-N_LOOP = 50
-BATCH_TPU = 8
+N_LOOP = 20
+BATCH_TPU = 512  # throughput knee measured on v5e (129k iter/s)
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cpu_baseline.json")

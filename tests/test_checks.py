@@ -50,3 +50,47 @@ def test_check_prior_concentration():
         N_values=(100, 10000))
     assert df["err"].iloc[-1] < df["err"].iloc[0] + 1e-3
     assert df["err"].iloc[-1] < 0.01
+
+
+def test_check_prior_grad_BO_gradient_identity():
+    from tramp_tpu.checks import check_prior_grad_BO
+    from tramp_tpu.priors import GaussBernoulliPrior
+    df = check_prior_grad_BO(GaussBernoulliPrior(size=1, rho=0.4))
+    assert df["m_err"].max() < 1e-6
+
+
+def test_check_prior_grad_BO_BN():
+    from tramp_tpu.checks import check_prior_grad_BO_BN
+    from tramp_tpu.priors import BinaryPrior
+    df = check_prior_grad_BO_BN(BinaryPrior(size=1, p_pos=0.6))
+    assert df["m_err"].max() < 1e-6
+    assert df["v_err"].max() < 1e-6
+
+
+def test_check_prior_grad_FG():
+    from tramp_tpu.checks import check_prior_grad_FG
+    from tramp_tpu.priors import GaussBernoulliPrior
+    df = check_prior_grad_FG(GaussBernoulliPrior(size=1, rho=0.3))
+    assert df["t_err"].max() < 1e-6
+
+
+def test_check_likelihood_grad_BO_and_BN():
+    import jax.numpy as jnp
+    from tramp_tpu.checks import (
+        check_likelihood_grad_BO, check_likelihood_grad_BO_BN)
+    from tramp_tpu.likelihoods import SgnLikelihood
+    lik = SgnLikelihood(y=jnp.asarray([1.0]))
+    df = check_likelihood_grad_BO(lik)
+    assert df["m_err"].max() < 1e-5
+    df2 = check_likelihood_grad_BO_BN(lik)
+    assert df2["m_err"].max() < 1e-5
+
+
+def test_check_likelihood_grad_RS():
+    import jax.numpy as jnp
+    from tramp_tpu.checks import check_likelihood_grad_RS
+    from tramp_tpu.likelihoods import SgnLikelihood
+    lik = SgnLikelihood(y=jnp.asarray([1.0]))
+    df = check_likelihood_grad_RS(lik, lik)
+    assert df["m_err"].max() < 1e-5
+    assert df["q_err"].max() < 1e-5
