@@ -351,3 +351,43 @@ def test_se_fixed_point_parity():
     my_v = float(my_se.get_variable_data("x")["v"])
 
     np.testing.assert_allclose(my_v, ref_v, rtol=1e-5)
+
+
+def test_analytic_abs_relu_channel_parity():
+    """Standalone analytic abs/relu channels vs the reference's standalone
+    (erfcx closed-form) versions AND vs our own piecewise-linear engine."""
+    load_reference()
+    # upstream's standalone abs/relu modules import a `sigmoid` that
+    # tramp.utils.misc does not define (dead code in the reference);
+    # shim it so they can serve as oracles
+    import tramp.utils.misc as rmisc
+    if not hasattr(rmisc, "sigmoid"):
+        from scipy.special import expit
+        rmisc.sigmoid = expit
+    from tramp.channels.activation.abs_channel import AbsChannel as RefAbs
+    from tramp.channels.activation.relu_channel import ReluChannel as RefRelu
+    from tramp_tpu.channels import (
+        AnalyticAbsChannel, AnalyticReluChannel, AbsChannel, ReluChannel)
+
+    pairs = [(AnalyticAbsChannel(), RefAbs(), AbsChannel()),
+             (AnalyticReluChannel(), RefRelu(), ReluChannel())]
+    for mine, ref, pl in pairs:
+        name = type(mine).__name__
+        rz_m, vz_m = mine.compute_backward_posterior(
+            AZ, jnp.asarray(BZ), AX, jnp.asarray(BX))
+        rz_r, vz_r = ref.compute_backward_posterior(AZ, BZ, AX, BX)
+        np.testing.assert_allclose(np.asarray(rz_m), rz_r, rtol=1e-10,
+                                   err_msg=f"{name} bwd r vs ref")
+        np.testing.assert_allclose(float(vz_m), float(vz_r), rtol=1e-10,
+                                   err_msg=f"{name} bwd v vs ref")
+        rx_m, vx_m = mine.compute_forward_posterior(
+            AZ, jnp.asarray(BZ), AX, jnp.asarray(BX))
+        rx_r, vx_r = ref.compute_forward_posterior(AZ, BZ, AX, BX)
+        np.testing.assert_allclose(np.asarray(rx_m), rx_r, rtol=1e-10,
+                                   err_msg=f"{name} fwd r vs ref")
+        # also consistent with the piecewise-linear engine
+        rz_p, vz_p = pl.compute_backward_posterior(
+            AZ, jnp.asarray(BZ), AX, jnp.asarray(BX))
+        np.testing.assert_allclose(np.asarray(rz_m), np.asarray(rz_p),
+                                   rtol=1e-7, atol=1e-9,
+                                   err_msg=f"{name} vs PL engine")

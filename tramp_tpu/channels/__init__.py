@@ -7,6 +7,7 @@ from .analytical_linear_channel import (
     AnalyticalLinearChannel, MarchenkoPasturChannel)
 from .shape_channels import (
     BiasChannel, SumChannel, DuplicateChannel, ConcatChannel, ReshapeChannel)
+from .analytic_activations import AnalyticAbsChannel, AnalyticReluChannel
 from .piecewise_linear_channel import (
     PiecewiseLinearChannel, SgnChannel, AbsChannel, AsymmetricAbsChannel,
     ReluChannel, LeakyReluChannel, HardTanhChannel, HardSigmoidChannel,
@@ -71,7 +72,7 @@ __all__ = [
     "GaussianChannel", "LinearChannel", "ComplexLinearChannel",
     "AnalyticalLinearChannel", "MarchenkoPasturChannel", "BiasChannel",
     "SumChannel", "DuplicateChannel", "ConcatChannel", "ReshapeChannel",
-    "PiecewiseLinearChannel", "SgnChannel", "AbsChannel",
+    "PiecewiseLinearChannel", "SgnChannel", "AnalyticAbsChannel", "AnalyticReluChannel", "AbsChannel",
     "AsymmetricAbsChannel", "ReluChannel", "LeakyReluChannel",
     "HardTanhChannel", "HardSigmoidChannel", "SymmetricDoorChannel",
     "ConvChannel", "DifferentialChannel", "LaplacianChannel",
