@@ -189,3 +189,29 @@ def test_checkpoint_save_load(tmp_path):
     r_resumed = np.asarray(ep2.get_variable_data("x")["r"])
 
     np.testing.assert_allclose(r_resumed, r_full, rtol=1e-12)
+
+
+def test_run_trace_matches_callback_track():
+    """run_trace (on-device scan) reproduces the per-iteration v curve the
+    TrackEvolution callback records on the eager path."""
+    model = glm_generative(
+        N=60, alpha=0.7, ensemble_type="gaussian",
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=0.4, output_var=1e-2, key=jax.random.PRNGKey(8))
+    scenario = BayesOptimalScenario(model, x_ids=["x"])
+    scenario.setup(seed=4)
+
+    from tramp_tpu.algos import ExpectationPropagation as EP, TrackEvolution
+    n_iter = 8
+
+    ep1 = EP(scenario.student)
+    trace = ep1.run_trace(n_iter=n_iter, damping=0.1)
+    assert set(trace) == {"x", "z"}
+    assert trace["x"].shape == (n_iter,)
+
+    ep2 = EP(scenario.student)
+    track = TrackEvolution()
+    ep2.iterate(max_iter=n_iter, damping=0.1, callback=track)
+    df = track.get_dataframe()
+    v_cb = df[df.id == "x"]["v"].to_numpy()
+    np.testing.assert_allclose(np.asarray(trace["x"]), v_cb, rtol=1e-10)

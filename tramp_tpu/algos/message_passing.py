@@ -463,6 +463,39 @@ class MessagePassing:
                 records.append(record)
         return records
 
+    # -- on-device trace buffers (SURVEY §5.1: the TPU-native replacement
+    # for the reference's host-side TrackEvolution callback) ---------------
+    def run_trace(self, n_iter=50, damping=None, initializer=None,
+                  warm_start=False):
+        """Run exactly ``n_iter`` sweeps as one ``lax.scan``, stacking the
+        per-iteration per-variable posterior summary (mean v) in the scan
+        output — convergence curves with zero host round-trips.
+
+        Returns {variable_id: (n_iter,) array}; also advances the engine
+        state like iterate(warm_start=...)."""
+        if warm_start:
+            if self.state is None:
+                raise ValueError("message state was never initialized")
+        else:
+            self.state = self.init_state(initializer)
+            self.n_iter = 0
+        damp = self._damping_per_slot(damping)
+        k = ("trace", damp)
+        if k not in self._compiled:
+            def run(model, state, n_iter):
+                def step(state, _):
+                    new_state = self._sweep(model, state, damp)
+                    vs = self._metric(model, new_state, "v")
+                    return new_state, jnp.stack([jnp.mean(v) for v in vs])
+                return jax.lax.scan(step, state, None, length=n_iter)
+
+            self._compiled[k] = jax.jit(run, static_argnames=("n_iter",))
+        state, trace = self._compiled[k](self.model, self.state, n_iter)
+        self.state = state
+        self.n_iter += int(n_iter)
+        return {self.nodes[vi].id: trace[:, j]
+                for j, vi in enumerate(self.variable_indices)}
+
     # -- checkpoint / resume ----------------------------------------------
     # The reference only checkpoints in memory (old_message_dag copy,
     # message_passing.py:356). The message state here is a pytree of
