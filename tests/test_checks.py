@@ -94,3 +94,48 @@ def test_check_likelihood_grad_RS():
     df = check_likelihood_grad_RS(lik, lik)
     assert df["m_err"].max() < 1e-5
     assert df["q_err"].max() < 1e-5
+
+
+def test_check_bn_limits():
+    import jax.numpy as jnp
+    from tramp_tpu.checks import check_prior_BN_limit, check_likelihood_BN_limit
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.likelihoods import SgnLikelihood
+    df = check_prior_BN_limit(GaussBernoulliPrior(size=1, rho=0.4))
+    assert df["v_err"].max() < 1e-4
+    df2 = check_likelihood_BN_limit(SgnLikelihood(y=jnp.asarray([1.0])))
+    assert df2["v_err"].max() < 1e-4
+
+
+def test_check_high_dim_concentration_bo_bn():
+    from tramp_tpu.checks import check_prior_BO_BN_high_dim
+    from tramp_tpu.priors import GaussBernoulliPrior
+    prior = GaussBernoulliPrior(size=3000, rho=0.5)
+    df = check_prior_BO_BN_high_dim(prior, n_samples=2,
+                                    ax_values=[1.0, 2.0])
+    # instance averages concentrate on the ensemble values at N=3000
+    assert np.max(np.abs(df["vx"] - df["vx_avg"])) < 5e-2
+    assert np.max(np.abs(df["mx"] - df["mx_avg"])) < 5e-2
+
+
+def test_reference_api_symbol_coverage():
+    """Every public class and function of every reference module has an
+    equivalent here (full API-surface parity)."""
+    from reference_oracle import reference_available, load_reference
+    if not reference_available():
+        pytest.skip("reference checkout not available")
+    load_reference()
+    import importlib
+    import tramp
+    import tramp_tpu
+    for name in ["algos", "models", "experiments", "priors", "channels",
+                 "likelihoods", "ensembles", "variables", "checks"]:
+        rmod = importlib.import_module(f"tramp.{name}")
+        mmod = importlib.import_module(f"tramp_tpu.{name}")
+        missing = [
+            s for s in dir(rmod)
+            if not s.startswith("_") and callable(getattr(rmod, s, None))
+            and getattr(getattr(rmod, s), "__module__", "").startswith("tramp")
+            and not hasattr(mmod, s)
+        ]
+        assert not missing, f"tramp_tpu.{name} missing: {missing}"

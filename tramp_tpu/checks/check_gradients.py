@@ -301,3 +301,58 @@ def plot_likelihood_grad_BO_BN(likelihood, **kw):
     return _plot_pairs(
         df, "az", [("mz", "two_dA_daz", r"$2\partial_{a} A$")],
         repr(likelihood))
+
+
+def check_likelihood_grad_FG(likelihood, tz_hat_values=None):
+    """Factor-graph potential of a likelihood: tau_z = -2 dA_FG/dt_hat.
+    Reference check_gradients.py (likelihood FG section)."""
+    tz_hat_values = (tz_hat_values if tz_hat_values is not None
+                     else np.linspace(1, 3, 10))
+    records = []
+    for tz_hat in tz_hat_values:
+        tz_hat = float(tz_hat)
+        dA = float(jax.grad(
+            lambda t: likelihood.prior_log_partition_FG(t))(tz_hat))
+        tz = float(likelihood.backward_second_moment_FG(tz_hat))
+        records.append(dict(tz_hat=tz_hat, tz=tz, minus2_dA=-2 * dA,
+                            t_err=abs(tz + 2 * dA)))
+    return pd.DataFrame(records)
+
+
+def plot_likelihood_grad_FG(likelihood, **kw):
+    df = check_likelihood_grad_FG(likelihood, **kw)
+    return _plot_pairs(
+        df, "tz_hat",
+        [("tz", "minus2_dA", r"$-2\partial_{\hat\tau} A$")],
+        repr(likelihood))
+
+
+def plot_prior_grad_RS(teacher, student, **kw):
+    import matplotlib.pyplot as plt
+    df = check_prior_grad_RS(teacher, student, **kw)
+    fig, ax_ = plt.subplots(figsize=(4, 4))
+    ax_.bar(["m_err", "q_err"], [df["m_err"].iloc[0], df["q_err"].iloc[0]])
+    ax_.set(title="RS gradient identity errors")
+    return fig
+
+
+def plot_likelihood_grad_RS(teacher, student, **kw):
+    import matplotlib.pyplot as plt
+    df = check_likelihood_grad_RS(teacher, student, **kw)
+    fig, ax_ = plt.subplots(figsize=(4, 4))
+    ax_.bar(["m_err", "q_err"], [df["m_err"].iloc[0], df["q_err"].iloc[0]])
+    ax_.set(title="RS gradient identity errors")
+    return fig
+
+
+# the reference distinguishes scalar and diagonal (vectorized) EP checks
+# (check_gradients.py:279-365); the jnp kernels ARE the vectorized path, so
+# both names exercise the same identities here.
+check_prior_grad_EP_scalar = check_prior_grad_EP
+check_prior_grad_EP_diagonal = check_prior_grad_EP
+plot_prior_grad_EP_scalar = plot_prior_grad_EP
+plot_prior_grad_EP_diagonal = plot_prior_grad_EP
+check_likelihood_grad_EP_scalar = check_likelihood_grad_EP
+check_likelihood_grad_EP_diagonal = check_likelihood_grad_EP
+plot_likelihood_grad_EP_scalar = plot_likelihood_grad_EP
+plot_likelihood_grad_EP_diagonal = plot_likelihood_grad_EP
