@@ -147,3 +147,38 @@ def test_display_latex_smoke(capsys):
     disp.iterate(max_iter=1)
     out = capsys.readouterr().out
     assert "\\" in out or "$" in out
+
+
+def test_multi_layer_model():
+    """MultiLayerModel: prior -> channels -> observed chain with default ids
+    x, t_1, ..., y (reference multi_layer_model.py:21-49)."""
+    from tramp_tpu.models import MultiLayerModel
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.channels import GaussianChannel, AbsChannel
+
+    model = MultiLayerModel(
+        [GaussBernoulliPrior(size=50, rho=0.5), AbsChannel(),
+         GaussianChannel(var=1e-2)])
+    assert model.ids == ["x", "t_1", "y"]
+    sample = model.sample(jax.random.PRNGKey(0))
+    assert set(sample) == {"x", "t_1", "y"}
+
+    student = model.to_observed({"y": sample["y"]})
+    ep = ExpectationPropagation(student)
+    ep.iterate(max_iter=100, damping=0.3)
+    # x's sign is elementwise unidentifiable under y = |x| + noise; the
+    # magnitude variable t_1 = |x| must be recovered to the noise floor
+    r_t = np.asarray(ep.get_variable_data("t_1")["r"])
+    mse_t = float(np.mean((r_t - np.asarray(sample["t_1"])) ** 2))
+    assert mse_t < 5e-2, mse_t
+
+
+def test_model_plot_smoke():
+    import matplotlib
+    matplotlib.use("Agg")
+    from tramp_tpu import glm_generative
+    model = glm_generative(
+        N=20, alpha=0.5, ensemble_type="gaussian",
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        prior_rho=0.5, output_var=1e-2, key=jax.random.PRNGKey(0))
+    model.plot()
