@@ -391,3 +391,55 @@ def test_analytic_abs_relu_channel_parity():
         np.testing.assert_allclose(np.asarray(rz_m), np.asarray(rz_p),
                                    rtol=1e-7, atol=1e-9,
                                    err_msg=f"{name} vs PL engine")
+
+
+def test_ep_diagonal_variance_parity():
+    "EP with isotropic=False (per-element variances) matches the reference."
+    load_reference()
+    from tramp.priors import GaussBernoulliPrior as RefGB
+    from tramp.channels import GaussianChannel as RefGC
+    from tramp.likelihoods import GaussianLikelihood as RefGL
+    from tramp.variables import SISOVariable as RV, SILeafVariable as RO
+    from tramp.algos import ExpectationPropagation as RefEP
+
+    import tramp_tpu as tt
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.likelihoods import GaussianLikelihood
+
+    rng = np.random.RandomState(13)
+    N = 40
+    x0 = (rng.rand(N) < 0.4) * rng.randn(N)
+    y = x0 + 0.1 * rng.randn(N)
+
+    # the reference's own NaN guard assumes scalar precisions
+    # (np.isnan(data['a']) on an array raises); patch it for the oracle run
+    from tramp.algos.message_passing import MessagePassing as RefMP
+    if not getattr(RefMP, "_diag_patch", False):
+        def check_message(self, new_message, old_message):
+            for source, target, data in new_message:
+                if np.any(np.isnan(data["a"])):
+                    raise ValueError("nan in message")
+        RefMP.check_message = check_message
+        RefMP._diag_patch = True
+
+    ref_model = (RefGB(size=N, rho=0.4, isotropic=False) @ RV(id="x") @
+                 RefGL(y=y, var=0.01, isotropic=False)).to_model()
+    my_model = (GaussBernoulliPrior(size=N, rho=0.4, isotropic=False) @
+                tt.V(id="x") @
+                GaussianLikelihood(y=jnp.asarray(y), var=0.01,
+                                   isotropic=False)).to_model()
+
+    n_iter = 30
+    ref_ep = RefEP(ref_model)
+    ref_ep.iterate(max_iter=n_iter, damping=0.1, callback=lambda *a: False)
+    my_ep = tt.ExpectationPropagation(my_model)
+    my_ep.iterate(max_iter=n_iter, damping=0.1, tol=0.0)
+
+    ref_d = ref_ep.get_variable_data("x")
+    my_d = my_ep.get_variable_data("x")
+    np.testing.assert_allclose(np.asarray(my_d["r"]), ref_d["r"],
+                               rtol=1e-7, atol=1e-10)
+    # per-element (diagonal) variances
+    assert np.shape(np.asarray(my_d["v"])) == (N,)
+    np.testing.assert_allclose(np.asarray(my_d["v"]), ref_d["v"],
+                               rtol=1e-7, atol=1e-10)

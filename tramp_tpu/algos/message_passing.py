@@ -88,7 +88,36 @@ class MessagePassing:
                 for key in self.message_keys:
                     msg[key] = initializer.init(key, shape, var.id, dname)
                 state.append(msg)
-        return tuple(state)
+        return self._harmonize_state(tuple(state))
+
+    def _harmonize_state(self, state):
+        """Broadcast each slot's init values to the shapes a sweep emits.
+
+        Diagonal-variance factors (isotropic=False) emit array precisions
+        while the default init is a scalar a=0; the fused while_loop needs
+        a shape-stable carry, so the init is pre-broadcast to the
+        fixed-point shapes (two abstract sweeps reach them)."""
+        damp = tuple([0.0] * self.n_slots)
+
+        def two_sweeps(st):
+            st = self._sweep(self.model, st, damp)
+            return self._sweep(self.model, st, damp)
+
+        try:
+            out = jax.eval_shape(two_sweeps, state)
+        except Exception:
+            # abstract sweep can fail for engines overriding _sweep (e.g.
+            # explain wrappers print); keep the raw init there
+            return state
+        new_state = []
+        for msg, out_msg in zip(state, out):
+            new_msg = {}
+            for key in self.message_keys:
+                tgt = out_msg[key]
+                new_msg[key] = jnp.broadcast_to(
+                    jnp.asarray(msg[key], dtype=tgt.dtype), tgt.shape)
+            new_state.append(new_msg)
+        return tuple(new_state)
 
     # -- damping ---------------------------------------------------------
     def _damping_per_slot(self, damping):
