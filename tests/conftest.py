@@ -13,4 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The ambient sitecustomize may have imported jax (registering the remote
+# TPU plugin) BEFORE this conftest ran, in which case the env vars above
+# were read too late — set the config directly as well, which is effective
+# post-import as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -182,3 +182,15 @@ def test_model_plot_smoke():
         prior_type="gauss_bernoulli", output_type="gaussian",
         prior_rho=0.5, output_var=1e-2, key=jax.random.PRNGKey(0))
     model.plot()
+
+
+def test_qplot_smoke():
+    import matplotlib
+    matplotlib.use("Agg")
+    import pandas as pd
+    from tramp_tpu.experiments import qplot
+    df = pd.DataFrame([
+        dict(alpha=a, v=1.0 / (1 + a), source=s)
+        for a in (0.1, 0.2, 0.5, 1.0) for s in ("SE", "EP")
+    ])
+    qplot(df, x="alpha", y="v", color="source")
