@@ -24,6 +24,12 @@ import subprocess
 import sys
 import time
 
+# persistent compilation cache: the batch-512 EP graph takes minutes to
+# compile through the remote-compile tunnel; cache it across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
 N = 10_000
 ALPHA = 0.5
 RHO = 0.25
