@@ -24,9 +24,18 @@ def stack_pytrees(trees):
 class _Solver:
     engine_cls = None
 
-    def __init__(self, model, damping=None, tol=1e-6, max_iter=200):
+    def __init__(self, model, damping=None, tol=1e-6, max_iter=200,
+                 wait_increase=None, rollback_increase=None):
         """`model` provides the static structure (one representative
-        instance). Solve calls accept any pytree with the same structure."""
+        instance). Solve calls accept any pytree with the same structure.
+
+        wait_increase / rollback_increase tune the divergence rollback
+        (reference EarlyStopping(wait_increase, max_increase) semantics,
+        callbacks.py:195-243); default to the engine's values. Models with
+        a long symmetry-breaking transient (e.g. phase retrieval) need a
+        larger wait_increase, as in the reference's figure scripts
+        (sparse_phase_retrieval.py:57). rollback_increase=jnp.inf disables
+        rollback."""
         self.engine = self.engine_cls(model)
         self.damp = self.engine._damping_per_slot(
             float(damping) if damping else None)
@@ -34,6 +43,10 @@ class _Solver:
         self.max_iter = max_iter
         eng = self.engine
         damp = self.damp
+        wait_increase = (eng.wait_increase if wait_increase is None
+                         else wait_increase)
+        rollback_increase = (eng.rollback_increase if rollback_increase is None
+                             else rollback_increase)
 
         def run(model, state, max_iter, tol):
             def cond(carry):
@@ -52,7 +65,7 @@ class _Solver:
                 delta, inc = eng._delta_increase(kind, new_m, old_m)
                 converged = (i > 0) & (delta < tol)
                 # divergence rollback (reference EarlyStopping semantics)
-                rb = (i > eng.wait_increase) & (inc > eng.rollback_increase)
+                rb = (i > wait_increase) & (inc > rollback_increase)
                 new_state = jax.tree.map(
                     lambda n, o: jnp.where(rb, o, n), new_state, state)
                 converged = converged | rb
@@ -70,6 +83,10 @@ class _Solver:
         self._run = run
         self._jit_single = jax.jit(run)
         self._jit_batch = jax.jit(jax.vmap(run, in_axes=(0, None, None, None)))
+        # variant with a per-instance initial state (stacked leading axis),
+        # e.g. informed-vs-uninformed SE inits varying along the batch
+        self._jit_batch_state = jax.jit(
+            jax.vmap(run, in_axes=(0, 0, None, None)))
 
     def init_state(self, initializer=None):
         return self.engine.init_state(initializer)
@@ -83,8 +100,16 @@ class _Solver:
 
     def solve_batch(self, stacked_model, initializer=None):
         """Solve a batch of instances (stacked leading axis on every model
-        leaf). The initial state is shared (broadcast); the fused loop runs
-        until every instance converges."""
+        leaf). `initializer` may be a single InitialConditions (initial
+        state broadcast across the batch) or a list of them, one per
+        instance (e.g. per-instance informed CustomInit); the fused loop
+        runs until every instance converges."""
+        if isinstance(initializer, (list, tuple)):
+            state = stack_pytrees([self.init_state(iz) for iz in initializer])
+            post, _, n_iter = self._jit_batch_state(
+                stacked_model, state,
+                jnp.asarray(self.max_iter), jnp.asarray(self.tol))
+            return post, n_iter
         state = self.init_state(initializer)
         post, _, n_iter = self._jit_batch(
             stacked_model, state,
