@@ -198,3 +198,57 @@ def test_sparse_gradient_model_parity():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(my_d["v"]), np.asarray(ref_d["v"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_tv_denoiser_model_parity():
+    """End-to-end TV denoiser (SIMO x -> Gaussian likelihood + gradient
+    branch with MAP-L21 leaf prior), ConstantInit(a=1, b=1), damping 0 —
+    the reference's raccoon-denoise TV topology
+    (plot_raccoon_denoise.py:135-150)."""
+    load_reference()
+    from tramp.variables import (
+        SIMOVariable as RSIMO, MILeafVariable as RMIL, SILeafVariable as RO)
+    from tramp.priors import (
+        GaussianPrior as RGP, MAP_L21NormPrior as RL21)
+    from tramp.channels import (
+        GradientChannel as RGrad, GaussianChannel as RGC)
+    from tramp.algos import (
+        ExpectationPropagation as RefEP, ConstantInit as RefCI)
+    from tramp_tpu.variables import (
+        SIMOVariable, MILeafVariable, SILeafVariable as O)
+    from tramp_tpu.priors import GaussianPrior, MAP_L21NormPrior
+    from tramp_tpu.channels import GradientChannel, GaussianChannel
+    from tramp_tpu.algos import ExpectationPropagation, ConstantInit
+
+    H = W = 8
+    noise_var = 0.1
+    rng = np.random.RandomState(3)
+    x0 = rng.randn(H, W)
+    y = x0 + np.sqrt(noise_var) * rng.randn(H, W)
+
+    ref_model = (
+        RGP(size=(H, W)) @ RSIMO(id="x", n_next=2) @ (
+            RGC(var=noise_var) @ RO("y") + (
+                RGrad(shape=(H, W)) + RL21(size=(2, H, W), gamma=1)
+            ) @ RMIL(id="x'", n_prev=2)
+        )
+    ).to_model().to_observed({"y": y})
+    ref = RefEP(ref_model)
+    ref.iterate(max_iter=20, damping=0, initializer=RefCI(a=1, b=1))
+
+    my_model = (
+        GaussianPrior(size=(H, W)) @ SIMOVariable(id="x", n_next=2) @ (
+            GaussianChannel(var=noise_var) @ O("y") + (
+                GradientChannel(shape=(H, W)) +
+                MAP_L21NormPrior(size=(2, H, W), gamma=1, axis=0)
+            ) @ MILeafVariable(id="x'", n_prev=2)
+        )
+    ).to_model().to_observed({"y": jnp.asarray(y)})
+    mine = ExpectationPropagation(my_model)
+    mine.iterate(max_iter=20, damping=0.0, initializer=ConstantInit(a=1, b=1))
+
+    for vid in ["x", "x'"]:
+        r_ref = np.asarray(ref.get_variable_data(vid)["r"])
+        r_my = np.asarray(mine.get_variable_data(vid)["r"])
+        np.testing.assert_allclose(r_my, r_ref, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"TV denoiser r[{vid}]")
