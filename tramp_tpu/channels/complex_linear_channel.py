@@ -44,7 +44,7 @@ class ComplexLinearChannel(Channel):
         n_eff = jnp.sum(self.singular / (ratio + self.singular)) / self.Nz
         return jnp.where(ax == 0, 0.0, n_eff)
 
-    def compute_backward_mean(self, az, bz, ax, bx, complex_out=False):
+    def _mean_svd(self, az, bz, ax, bx):
         bzc = array2complex(bz)
         bxc = array2complex(bx)
         k = self.s.shape[0]
@@ -52,12 +52,20 @@ class ComplexLinearChannel(Channel):
         bz_svd = self.V.conj().T @ bzc
         resolvent = 1.0 / (az + ax * self.spectrum)
         Stbx = jnp.zeros_like(bz_svd).at[:k].set(self.s * bx_svd[:k])
-        rz = self.V @ (resolvent * (bz_svd + Stbx))
+        return resolvent * (bz_svd + Stbx)
+
+    def compute_backward_mean(self, az, bz, ax, bx, complex_out=False):
+        rz = self.V @ self._mean_svd(az, bz, ax, bx)
         return rz if complex_out else complex2array(rz)
 
     def compute_forward_mean(self, az, bz, ax, bx):
-        rz = self.compute_backward_mean(az, bz, ax, bx, complex_out=True)
-        return complex2array(self.W @ rz)
+        # rx = W rz = U (s * rz_svd), as in LinearChannel.compute_forward_mean
+        rz_svd = self._mean_svd(az, bz, ax, bx)
+        k = self.s.shape[0]
+        rx_svd = self.s * rz_svd[:k]
+        if self.Nx > k:
+            rx_svd = jnp.pad(rx_svd, (0, self.Nx - k))
+        return complex2array(self.U @ rx_svd)
 
     def compute_backward_variance(self, az, ax):
         n_eff = self.compute_n_eff(az, ax)
