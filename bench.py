@@ -35,7 +35,8 @@ ALPHA = 0.5
 RHO = 0.25
 NOISE = 1e-2
 N_LOOP = 20
-BATCH_TPU = 512  # throughput knee measured on v5e (129k iter/s)
+BATCH_TPU = 768  # throughput knee measured on v5e (161.6k iter/s;
+                 # 512 -> 149.9k, 1024 -> 123.3k: HBM pressure)
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cpu_baseline.json")
