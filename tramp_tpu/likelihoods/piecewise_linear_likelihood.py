@@ -4,14 +4,20 @@ Reference tramp/likelihoods/piecewise_linear_likelihood.py.
 SE measures use the probit-transformed truncated Gaussian rule so region
 indicators are represented exactly (the reference bypasses them point-by-
 point inside adaptive quad, which cannot be jitted)."""
+import numpy as np
 import jax.numpy as jnp
 from jax.nn import softmax
 from jax.scipy.special import logsumexp
 
 from .base_likelihood import Likelihood
 from ..beliefs import truncated
+from jax.scipy.special import ndtri
+
+from ..utils.special import norm_cdf
 from ..utils.integration import (
-    gaussian_measure, truncated_gaussian_measure, std_normal_nodes,
+    gaussian_measure, gaussian_measure_boundary, truncated_gaussian_measure,
+    truncated_gaussian_measure_boundary, std_normal_nodes,
+    composite_gauss_legendre,
 )
 
 
@@ -70,7 +76,10 @@ class LinearRegionLikelihood:
             def p_times_f(bz):
                 bz_star = (mz_hat / qz_hat) * bz
                 p = truncated.p(az_star, bz_star, self.zmin, self.zmax)
-                return p * f(bz, self.x0)
+                # x0 broadcast to bz: f may stack per-region results over
+                # regions of mixed slope (PiecewiseLinearLikelihood._merge)
+                return p * f(bz, jnp.broadcast_to(jnp.asarray(self.x0),
+                                                  jnp.shape(bz)))
 
             sz_eff = jnp.sqrt(qz_hat + mz_hat**2 * tz0)
             return gaussian_measure(0.0, sz_eff, p_times_f)
@@ -100,7 +109,8 @@ class LinearRegionLikelihood:
                 bz_star = (mz_hat / qz_hat) * bz
                 r = truncated.r(az_star, bz_star, self.zmin, self.zmax)
                 p = truncated.p(az_star, bz_star, self.zmin, self.zmax)
-                return r * p * f(bz, self.x0)
+                return r * p * f(bz, jnp.broadcast_to(jnp.asarray(self.x0),
+                                                      jnp.shape(bz)))
 
             sz_eff = jnp.sqrt(qz_hat + mz_hat**2 * tz0)
             return gaussian_measure(0.0, sz_eff, rp_times_f)
@@ -118,7 +128,7 @@ class LinearRegionLikelihood:
         return truncated_gaussian_measure(
             0.0, jnp.sqrt(tz0), self.zmin, self.zmax, outer)
 
-    def beliefs_measure(self, az, tau_z, f):
+    def beliefs_measure(self, az, tau_z, f, panel_z=()):
         # floor at AMIN: the reference asserts az > 1/tau_z strictly
         # (sgn_likelihood.py:81); at the uninformed point az == 1/tau_z
         # the measure degenerates, and a tiny positive floor keeps it
@@ -127,22 +137,67 @@ class LinearRegionLikelihood:
         if self.slope == 0:
             def integrand(bz):
                 p = truncated.p(az, bz, self.zmin, self.zmax)
-                return p * f(bz, self.x0)
+                return p * f(bz, jnp.broadcast_to(jnp.asarray(self.x0),
+                                                  jnp.shape(bz)))
             sz_eff = jnp.sqrt(mz_hat + mz_hat**2 * tau_z)
+            # boundary panels: the integrand's informative structure sits in
+            # layers of width ~sqrt(az) around b = az * z_b for every finite
+            # region boundary z_b (the truncation window of N(b/az, 1/az)).
+            # At large az the layer is a vanishing fraction of sz_eff ~ az,
+            # and the correction 1/az - v ~ az^{-3/2} that drives the SE
+            # recovery cascade is lost without dedicated segments.
+            bounds = [z for z in {self.zmin, self.zmax, *panel_z}
+                      if np.isfinite(z)]
+            if bounds:
+                L = 10.0 * jnp.sqrt(az)
+                pts = jnp.concatenate(
+                    [jnp.stack([az * z - L, az * z + L]) for z in bounds])
+                return gaussian_measure_boundary(0.0, sz_eff, pts, integrand)
             return gaussian_measure(0.0, sz_eff, integrand)
 
-        xi, w_xi = std_normal_nodes()
-        xi = jnp.asarray(xi)
-        w_xi = jnp.asarray(w_xi)
+        # slope != 0: exact Gaussian factorization with bz OUTER.
+        #   z ~ N(0, tau) on [zmin, zmax], bz | z ~ N(mz_hat z, mz_hat)
+        # = bz ~ N(0, s_b^2), z | bz ~ N(c bz, s_c^2) truncated to the region
+        # The merged integrand f(bz, y) has TWO boundary-layer scales in bz:
+        # truncation layers of width ~sqrt(az) at bz = az*z_b, and region
+        # log-partition crossings of width O(1) at the same centers (e.g.
+        # the +-z sign ambiguity of abs at bz ~ 0). Outer panels carry both
+        # scales; the inner probit rule represents the region indicator
+        # exactly. This preserves the az^{-3/2} informative correction that
+        # drives the SE recovery cascade (reference resolves it with
+        # adaptive scipy.quad).
+        s_b2 = mz_hat + mz_hat**2 * tau_z
+        s_b = jnp.sqrt(s_b2)
+        c = mz_hat * tau_z / s_b2
+        s_c = jnp.sqrt(tau_z / (mz_hat * tau_z + 1.0))
+        u_in, w_in = composite_gauss_legendre(0.0, 1.0, 12, 12)
+        u_in = jnp.asarray(u_in)
+        w_in = jnp.asarray(w_in)
 
-        def outer(z):
-            bz = mz_hat * z[:, None] + jnp.sqrt(mz_hat) * xi[None, :]
-            y = self.x(z)[:, None]
-            vals = f(bz, jnp.broadcast_to(y, bz.shape))
-            return jnp.sum(w_xi[None, :] * vals, axis=1)
+        def outer(bz):
+            m_c = c * bz
+            lo = (0.0 if self.zmin == -jnp.inf
+                  else norm_cdf((self.zmin - m_c) / s_c))
+            hi = (1.0 if self.zmax == jnp.inf
+                  else norm_cdf((self.zmax - m_c) / s_c))
+            lo = jnp.broadcast_to(jnp.asarray(lo), jnp.shape(bz))
+            hi = jnp.broadcast_to(jnp.asarray(hi), jnp.shape(bz))
+            mass = (hi - lo)[..., None]
+            p = jnp.clip(lo[..., None] + u_in * mass, 1e-300, 1.0 - 1e-16)
+            z = m_c[..., None] + s_c * ndtri(p)
+            vals = f(jnp.broadcast_to(bz[..., None], z.shape), self.x(z))
+            return jnp.sum(mass * w_in * vals, axis=-1)
 
-        return truncated_gaussian_measure(
-            0.0, jnp.sqrt(tau_z), self.zmin, self.zmax, outer)
+        bounds = [z for z in {self.zmin, self.zmax, *panel_z}
+                  if np.isfinite(z)]
+        if bounds:
+            L1 = 10.0 * jnp.sqrt(az)   # truncation layers
+            L2 = 10.0                  # crossing layers
+            pts = jnp.concatenate([
+                jnp.stack([az * z - L1, az * z - L2, az * z + L2,
+                           az * z + L1]) for z in bounds])
+            return gaussian_measure_boundary(0.0, s_b, pts, outer)
+        return gaussian_measure(0.0, s_b, outer)
 
 
 class PiecewiseLinearLikelihood(Likelihood):
@@ -177,9 +232,20 @@ class PiecewiseLinearLikelihood(Likelihood):
 
     def _merge(self, az, bz, y):
         regions = self.regions
-        rs = jnp.stack([rg.backward_mean(az, bz, y) for rg in regions], 0)
-        vs = jnp.stack([rg.backward_variance(az, bz, y) for rg in regions], 0)
-        As = jnp.stack([rg.log_partitions(az, bz, y) for rg in regions], 0)
+        # broadcast before stacking: slope!=0 regions return y-shaped
+        # results, slope==0 regions bz-shaped — mixed when y is scalar
+        rs = jnp.stack(jnp.broadcast_arrays(
+            *[rg.backward_mean(az, bz, y) for rg in regions]), 0)
+        vs = jnp.stack(jnp.broadcast_arrays(
+            *[rg.backward_variance(az, bz, y) for rg in regions]), 0)
+        As = jnp.stack(jnp.broadcast_arrays(
+            *[rg.log_partitions(az, bz, y) for rg in regions]), 0)
+        # quadrature nodes can land a rounding error outside every region
+        # (y infinitesimally past a strict boundary): all As = -inf would
+        # make softmax NaN; such points carry ~zero measure, any finite
+        # value works
+        all_off = ~jnp.isfinite(jnp.max(As, axis=0, keepdims=True))
+        As = jnp.where(all_off, 0.0, As)
         ps = softmax(As, axis=0)
         rz = jnp.sum(ps * rs, axis=0)
         Dr = jnp.sum(ps * rs**2, axis=0) - rz**2
@@ -215,7 +281,14 @@ class PiecewiseLinearLikelihood(Likelihood):
                    for rg in self.regions)
 
     def beliefs_measure(self, az, tau_z, f):
-        return sum(rg.beliefs_measure(az, tau_z, f) for rg in self.regions)
+        # f merges over ALL regions given y, so every slope-0 region's
+        # measure needs boundary panels at every region bound (e.g. the
+        # door's inner-region term has f-structure at both +-width)
+        panel_z = tuple(
+            z for (a, b, _, _) in self.region_specs for z in (a, b)
+            if np.isfinite(z))
+        return sum(rg.beliefs_measure(az, tau_z, f, panel_z=panel_z)
+                   for rg in self.regions)
 
 
 class ReluLikelihood(PiecewiseLinearLikelihood):

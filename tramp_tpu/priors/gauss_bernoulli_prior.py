@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from .base_prior import Prior
 from ..beliefs import normal, sparse
-from ..utils.integration import gaussian_measure
+from ..utils.integration import gaussian_measure, gaussian_measure_boundary
 
 
 class GaussBernoulliPrior(Prior):
@@ -99,9 +99,21 @@ class GaussBernoulliPrior(Prior):
         return rho * mu_1
 
     def beliefs_measure(self, ax, f):
-        mu_0 = gaussian_measure(0.0, jnp.sqrt(ax), f)
-        mu_1 = gaussian_measure(
-            ax * self.mean, jnp.sqrt(ax + ax**2 * self.var), f)
+        # spike<->slab transition layer: the posterior slab probability
+        # expit(normal.A(ax + a, bx + b) - eta) switches at
+        # |bx + b| = b* = sqrt(2 a_eff (eta + log(a_eff/2pi)/2)), a layer of
+        # width ~a_eff/b* — a vanishing fraction of the measure scale ~ax at
+        # large ax, where a global fixed rule loses the informative
+        # correction (cf. utils.integration.gaussian_measure_boundary)
+        a_eff = ax + self.a
+        arg = 2.0 * a_eff * (self.eta + 0.5 * jnp.log(a_eff / (2 * jnp.pi)))
+        b_star = jnp.sqrt(jnp.maximum(arg, 0.0))
+        w = 10.0 * a_eff / jnp.maximum(b_star, 1.0)
+        pts = jnp.stack([-b_star - self.b - w, -b_star - self.b + w,
+                         b_star - self.b - w, b_star - self.b + w])
+        mu_0 = gaussian_measure_boundary(0.0, jnp.sqrt(ax), pts, f)
+        mu_1 = gaussian_measure_boundary(
+            ax * self.mean, jnp.sqrt(ax + ax**2 * self.var), pts, f)
         return (1.0 - self.rho) * mu_0 + self.rho * mu_1
 
     def measure(self, f):

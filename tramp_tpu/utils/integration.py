@@ -128,6 +128,55 @@ def truncated_gaussian_measure(m, s, zmin, zmax, f, n=config.GL_NODES):
     return mass * jnp.sum(w * f(z), axis=-1)
 
 
+def gaussian_measure_boundary(m, s, points, f, order=12, panels=12):
+    """integral of N(x | m, s^2) f(x) with explicit quadrature segments split
+    at the (traced) breakpoints ``points``.
+
+    For integrands with boundary layers (e.g. SE averages of truncated-normal
+    variances at large precision az: structure of width ~sqrt(az) around
+    b = az * z_boundary, a vanishing fraction of the measure's scale ~az),
+    a fixed global rule loses the informative correction — the reference's
+    adaptive scipy.quad resolves it (tramp/utils/integration.py:27). Probit
+    change of variables per segment keeps everything jit/vmap-safe: segment
+    edges are mapped through the Gaussian CDF and sorted, so overlapping or
+    out-of-range breakpoints degrade gracefully to zero-width segments.
+    """
+    points = jnp.asarray(points)
+    c = norm_cdf((points - m) / s)
+    # standing bulk splits at m +- 1.5 s keep central resolution even when
+    # all boundary panels collapse to the tails (e.g. layer width > range)
+    bulk = jnp.asarray([norm_cdf(-1.5), norm_cdf(1.5)])
+    c = jnp.sort(jnp.concatenate([jnp.zeros(1), bulk, c, jnp.ones(1)]))
+    return _probit_segments(m, s, c, f, order, panels)
+
+
+def truncated_gaussian_measure_boundary(m, s, zmin, zmax, points, f,
+                                        order=12, panels=12):
+    """``truncated_gaussian_measure`` with extra (traced) segment breakpoints,
+    clipped into [zmin, zmax] — boundary-layer analog for integrands
+    restricted to a region (see gaussian_measure_boundary)."""
+    lo = 0.0 if zmin == -jnp.inf else norm_cdf((zmin - m) / s)
+    hi = 1.0 if zmax == jnp.inf else norm_cdf((zmax - m) / s)
+    points = jnp.asarray(points)
+    c = jnp.clip(norm_cdf((points - m) / s), lo, hi)
+    c = jnp.sort(jnp.concatenate(
+        [jnp.full((1,), lo), c, jnp.full((1,), hi)]))
+    return _probit_segments(m, s, c, f, order, panels)
+
+
+def _probit_segments(m, s, c, f, order, panels):
+    "Sum of probit-GL integrals over CDF segments given by sorted edges c."
+    u, w = composite_gauss_legendre(0.0, 1.0, panels, order)
+    u = jnp.asarray(u)
+    w = jnp.asarray(w)
+    lo = c[:-1][:, None]                       # (n_seg, 1)
+    mass = (c[1:] - c[:-1])[:, None]           # (n_seg, 1)
+    p = jnp.clip(lo + u[None, :] * mass, 1e-300, 1.0 - 1e-16)
+    x = m + s * ndtri(p)                       # (n_seg, n_nodes)
+    vals = f(x)
+    return jnp.sum(mass * w[None, :] * vals, axis=(-1, -2))
+
+
 def exponential_measure(m, f, n=config.GL_NODES):
     """integral of (1/m) exp(-x/m) f(x) over [0, 10] (reference truncates at
     10, integration.py:103-118). Uses Gauss-Legendre on [0, 10]."""
