@@ -28,6 +28,8 @@ def _fmt_msg(msg, keys):
 class _ExplainMixin:
     """Wraps the per-node updates of the parent engine with prints."""
 
+    harmonize = False  # prints concrete values: not abstractly traceable
+
     def __init__(self, model, keys=(), print_incoming=True,
                  print_outcoming=True):
         super().__init__(model)

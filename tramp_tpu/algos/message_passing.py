@@ -46,6 +46,10 @@ class MessagePassing:
     rollback_increase = None
     wait_increase = 5
 
+    #: Engines whose _sweep is not abstractly traceable (the explain/latex
+    #: wrappers print concrete values) opt out of init harmonization.
+    harmonize = True
+
     def __init__(self, model, message_keys):
         if not isinstance(model, Model):
             raise ValueError(f"model {model} is not a Model")
@@ -97,18 +101,18 @@ class MessagePassing:
         while the default init is a scalar a=0; the fused while_loop needs
         a shape-stable carry, so the init is pre-broadcast to the
         fixed-point shapes (two abstract sweeps reach them)."""
+        if not self.harmonize:
+            # engines that print concrete values inside _sweep (explain /
+            # latex wrappers) cannot be traced abstractly; they run eagerly
+            # and never enter the fused loop, so the raw init is fine
+            return state
         damp = tuple([0.0] * self.n_slots)
 
         def two_sweeps(st):
             st = self._sweep(self.model, st, damp)
             return self._sweep(self.model, st, damp)
 
-        try:
-            out = jax.eval_shape(two_sweeps, state)
-        except Exception:
-            # abstract sweep can fail for engines overriding _sweep (e.g.
-            # explain wrappers print); keep the raw init there
-            return state
+        out = jax.eval_shape(two_sweeps, state)
         new_state = []
         for msg, out_msg in zip(state, out):
             new_msg = {}

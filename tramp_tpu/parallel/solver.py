@@ -50,35 +50,45 @@ class _Solver:
 
         def run(model, state, max_iter, tol):
             def cond(carry):
-                state, old_m, i, done = carry
+                state, old_m, i, n_iter, done = carry
                 return (~done) & (i < max_iter)
 
             kind = eng.default_stop_kind
 
             def body(carry):
-                state, old_m, i, done = carry
-                new_state = eng._sweep(model, state, damp)
-                ok = eng._all_finite(new_state)
-                new_state = jax.tree.map(
-                    lambda n, o: jnp.where(ok, n, o), new_state, state)
-                new_m = eng._metric(model, new_state, kind)
+                state, old_m, i, n_iter, done = carry
+                swept = eng._sweep(model, state, damp)
+                ok = eng._all_finite(swept)
+                swept = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), swept, state)
+                new_m = eng._metric(model, swept, kind)
                 delta, inc = eng._delta_increase(kind, new_m, old_m)
                 converged = (i > 0) & (delta < tol)
                 # divergence rollback (reference EarlyStopping semantics)
                 rb = (i > wait_increase) & (inc > rollback_increase)
+                swept = jax.tree.map(
+                    lambda n, o: jnp.where(rb, o, n), swept, state)
+                # freeze already-converged lanes: under vmap the while_loop
+                # keeps sweeping until the slowest lane converges; done lanes
+                # must keep their fixed point (and their n_iter) untouched so
+                # batched results match the sequential run exactly
                 new_state = jax.tree.map(
-                    lambda n, o: jnp.where(rb, o, n), new_state, state)
-                converged = converged | rb
-                return (new_state, new_m, i + 1, converged | (~ok))
+                    lambda n, o: jnp.where(done, o, n), swept, state)
+                new_m = jax.tree.map(
+                    lambda n, o: jnp.where(done, o, n), new_m, old_m)
+                n_iter = jnp.where(done, n_iter, i + 1)
+                done = done | converged | rb | (~ok)
+                return (new_state, new_m, i + 1, n_iter, done)
 
             m0 = eng._metric(model, state, kind)
-            state, _, i, _ = jax.lax.while_loop(
-                cond, body, (state, m0, jnp.asarray(0), jnp.asarray(False)))
+            state, _, _, n_iter, _ = jax.lax.while_loop(
+                cond, body, (state, m0, jnp.asarray(0), jnp.asarray(0),
+                             jnp.asarray(False)))
             post = {
                 eng.nodes[vi].id: self._post(vi, state)
                 for vi in eng.variable_indices
             }
-            return post, state, i
+            return post, state, n_iter
 
         self._run = run
         self._jit_single = jax.jit(run)

@@ -128,26 +128,29 @@ def truncated_gaussian_measure(m, s, zmin, zmax, f, n=config.GL_NODES):
     return mass * jnp.sum(w * f(z), axis=-1)
 
 
-def gaussian_measure_boundary(m, s, points, f, order=12, panels=12):
-    """integral of N(x | m, s^2) f(x) with explicit quadrature segments split
-    at the (traced) breakpoints ``points``.
+def gaussian_measure_boundary(m, s, points, f, order=16, panels=8):
+    """integral of N(x | m, s^2) f(x) over m +- 10 s with explicit quadrature
+    segments split at the (traced) breakpoints ``points``.
 
     For integrands with boundary layers (e.g. SE averages of truncated-normal
     variances at large precision az: structure of width ~sqrt(az) around
     b = az * z_boundary, a vanishing fraction of the measure's scale ~az),
     a fixed global rule loses the informative correction — the reference's
-    adaptive scipy.quad resolves it (tramp/utils/integration.py:27). Probit
-    change of variables per segment keeps everything jit/vmap-safe: segment
-    edges are mapped through the Gaussian CDF and sorted, so overlapping or
-    out-of-range breakpoints degrade gracefully to zero-width segments.
+    adaptive scipy.quad resolves it (tramp/utils/integration.py:27).
+
+    Implementation: composite Gauss-Legendre in x per segment with the
+    Gaussian density folded into the weights (same construction as
+    ``std_normal_nodes``, which is machine-exact for the smooth SE
+    integrands) — segment edges are the breakpoints clipped into the
+    +-10 sigma range and sorted, so overlapping or out-of-range breakpoints
+    degrade gracefully to zero-width (zero-weight) segments. The domain
+    matches the reference's quad(-10, 10) exactly.
     """
     points = jnp.asarray(points)
-    c = norm_cdf((points - m) / s)
-    # standing bulk splits at m +- 1.5 s keep central resolution even when
-    # all boundary panels collapse to the tails (e.g. layer width > range)
-    bulk = jnp.asarray([norm_cdf(-1.5), norm_cdf(1.5)])
-    c = jnp.sort(jnp.concatenate([jnp.zeros(1), bulk, c, jnp.ones(1)]))
-    return _probit_segments(m, s, c, f, order, panels)
+    z = jnp.clip((points - m) / s, -QUAD_RANGE, QUAD_RANGE)
+    edges = jnp.sort(jnp.concatenate(
+        [jnp.full((1,), -QUAD_RANGE), z, jnp.full((1,), QUAD_RANGE)]))
+    return _xspace_segments(m, s, edges, f, order, panels)
 
 
 def truncated_gaussian_measure_boundary(m, s, zmin, zmax, points, f,
@@ -175,6 +178,21 @@ def _probit_segments(m, s, c, f, order, panels):
     x = m + s * ndtri(p)                       # (n_seg, n_nodes)
     vals = f(x)
     return jnp.sum(mass * w[None, :] * vals, axis=(-1, -2))
+
+
+def _xspace_segments(m, s, z_edges, f, order, panels):
+    """Sum of composite-GL integrals of N(x|m,s^2) f(x) over segments of
+    standard-unit edges ``z_edges`` (sorted, traced), Gaussian density folded
+    into the weights."""
+    u, w = composite_gauss_legendre(0.0, 1.0, panels, order)
+    u = jnp.asarray(u)
+    w = jnp.asarray(w)
+    lo = z_edges[:-1][:, None]                 # (n_seg, 1)
+    h = (z_edges[1:] - z_edges[:-1])[:, None]  # (n_seg, 1)
+    z = lo + u[None, :] * h                    # (n_seg, n_nodes)
+    ww = h * w[None, :] * jnp.exp(-0.5 * z**2) / jnp.sqrt(2.0 * jnp.pi)
+    vals = f(m + s * z)
+    return jnp.sum(ww * vals, axis=(-1, -2))
 
 
 def exponential_measure(m, f, n=config.GL_NODES):

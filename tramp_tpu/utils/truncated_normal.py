@@ -58,6 +58,10 @@ def F0(x, y):
     f_close = (
         -xc * e
         + (1.0 / 6.0) * (xc**2 - 2.0) * e**2
+        # deliberate bug-for-bug compatibility: the e**4 factor of the
+        # next Taylor term is missing in the reference too
+        # (/root/reference/tramp/utils/truncated_normal.py:41); kept as-is
+        # so fixed points match the reference bitwise in the close regime
         - (1.0 / 180.0) * (xc**4 + 2.0 * xc**2 - 8.0)
         + jnp.log(2.0 * jnp.abs(e_safe) / SQRT_PI)
     ) - xc**2
