@@ -79,9 +79,14 @@ class MessagePassing:
             i for i, n in enumerate(self.nodes) if isinstance(n, Variable)]
 
     # -- initial state ---------------------------------------------------
+    #: SE messages are scalar `a`s: no variable shapes are required, which
+    #: lets SE-only factors skip shape propagation entirely (the reference
+    #: builds SE GLMs with size=None, generalized_linear_model.py:45)
+    needs_shapes = True
+
     def init_state(self, initializer=None):
         initializer = initializer or ConstantInit(a=0, b=0)
-        shapes = self.model.init_shapes()
+        shapes = self.model.init_shapes() if self.needs_shapes else {}
         state = []
         for e, (ui, vi) in enumerate(self.edges):
             v_idx = self.edge_variable[e]

@@ -22,8 +22,9 @@ class StateEvolution(MessagePassing):
     rollback_increase = 0.2
     wait_increase = 5
 
+    needs_shapes = False
+
     def __init__(self, model):
-        model.init_shapes()
         super().__init__(model, message_keys=["a"])
 
     def _prepare(self, model):

@@ -8,6 +8,7 @@ from .multiple_experiments import (
 from .plots import qplot, plot_compare, plot_compare_complex, plot_function
 from .critical_alpha import (
     binary_search, find_state_evolution_mse, find_critical_alpha,
+    find_critical_alpha_batched,
 )
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "run_experiments", "simple_run_experiments", "save_experiments",
     "log_on_progress", "get_experiments_from_kwargs", "binary_search",
     "find_state_evolution_mse", "find_critical_alpha",
+    "find_critical_alpha_batched",
     "qplot", "plot_compare", "plot_compare_complex", "plot_function",
 ]

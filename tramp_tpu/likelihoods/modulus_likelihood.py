@@ -82,17 +82,34 @@ class ModulusLikelihood(Likelihood):
         return jnp.mean(A) / 2
 
     def beliefs_measure(self, az, tau_z, f):
-        "Reference l:105-127 (typical case u_eff > 0)."
+        """Reference l:101-120. The reference branches eagerly on
+        u_eff == 0 (uninformative belief az*tau_z <= 1: no integration over
+        b); az is traced inside the fused SE loop here, so both branches are
+        evaluated and blended with a where (the zero branch's 1D measure is
+        cheap)."""
         u_eff = jnp.maximum(0.0, az * tau_z - 1.0)
-        sz_eff = jnp.sqrt(az * u_eff)
+        pos = u_eff > 0
+        u_safe = jnp.where(pos, u_eff, 1.0)
+        sz_eff = jnp.sqrt(az * u_safe)
 
-        # integrand: relu(b)*relu(y)*ive(0, b y)*f (ive = scaled Bessel i0e)
-        def f_ref(xi_b, xi_y):
+        # typical case u_eff > 0:
+        # integrand relu(b)*relu(y)*ive(0, b y)*f (ive = scaled Bessel i0e)
+        def f_typical(xi_b, xi_y):
             b = sz_eff * xi_b
             y = b / az + xi_y / jnp.sqrt(az)
-            coef = 2 * jnp.pi / jnp.sqrt(jnp.maximum(u_eff, 1e-30))
+            coef = 2 * jnp.pi / jnp.sqrt(u_safe)
             bz = jnp.stack([b, jnp.zeros_like(b)], axis=0)
             return (coef * jnp.maximum(b, 0.0) * jnp.maximum(y, 0.0)
                     * i0e(b * y) * f(bz, y))
 
-        return gaussian_measure_2d(0.0, 1.0, 0.0, 1.0, f_ref)
+        I_typical = gaussian_measure_2d(0.0, 1.0, 0.0, 1.0, f_typical)
+
+        # special case az*tau_z <= 1 (b pinned at 0, 1D measure over y)
+        def f_zero(xi_y):
+            y = xi_y / jnp.sqrt(az)
+            coef_y = jnp.sqrt(2 * jnp.pi * az)
+            bz = jnp.stack([jnp.zeros_like(y), jnp.zeros_like(y)], axis=0)
+            return coef_y * jnp.maximum(y, 0.0) * f(bz, y)
+
+        I_zero = gaussian_measure(0.0, 1.0, f_zero)
+        return jnp.where(pos, I_typical, I_zero)
