@@ -74,8 +74,34 @@ def main():
         np.testing.assert_allclose(
             np.asarray(shard_piece.data)[0], np.asarray(want["x"]["r"]),
             rtol=1e-8, err_msg=f"instance {idx}")
-    print(f"proc {proc_id}: OK ({len(r_global.addressable_shards)} shards)",
-          flush=True)
+
+    # SE phase grid sharded over the 2-process ('DCN') mesh, aggregated via
+    # process_allgather, CSV written by host 0 only
+    import tempfile
+    from tramp_tpu import glm_state_evolution
+    from tramp_tpu.parallel import run_se_phase_grid, save_grid_csv
+
+    df = run_se_phase_grid(
+        glm_state_evolution,
+        grid_kwargs={"alpha": np.linspace(0.1, 1.0, 2 * n_dev),
+                     "prior_rho": [0.25]},
+        ids=("x",), a0=0.0, mesh=mesh,
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        output_var=1e-11)
+    assert len(df) == 2 * n_dev, len(df)
+    assert np.isfinite(df["v"]).all()
+    csv_path = os.path.join(tempfile.gettempdir(),
+                            f"tramp_grid_{port}.csv")
+    wrote = save_grid_csv(df, csv_path)
+    assert wrote == (proc_id == 0), (wrote, proc_id)
+    if proc_id == 0:
+        assert os.path.exists(csv_path)
+        n_rows = sum(1 for _ in open(csv_path)) - 1
+        assert n_rows == 2 * n_dev, n_rows
+        os.unlink(csv_path)
+
+    print(f"proc {proc_id}: OK ({len(r_global.addressable_shards)} shards, "
+          f"grid {len(df)} pts)", flush=True)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,38 @@ def test_sharded_phase_grid():
         rtol=1e-10)
 
 
+def test_run_se_phase_grid_and_csv(tmp_path):
+    "run_se_phase_grid == per-point sequential SE; CSV via host-0 path."
+    from tramp_tpu import glm_state_evolution, StateEvolution
+    from tramp_tpu.algos import CustomInit
+    from tramp_tpu.parallel import run_se_phase_grid, save_grid_csv
+
+    mesh = make_mesh((8, 1), ("data", "model"))
+    grid_mesh = make_mesh((8,), ("data",))
+    df = run_se_phase_grid(
+        glm_state_evolution,
+        grid_kwargs={"alpha": [0.3, 0.6, 0.9], "prior_rho": [0.25, 0.5]},
+        ids=("x",), a0=0.0, mesh=grid_mesh,
+        prior_type="gauss_bernoulli", output_type="gaussian",
+        output_var=1e-2)
+    assert len(df) == 6
+    assert set(df.columns) >= {"alpha", "prior_rho", "id", "v", "n_iter"}
+    for _, row in df.iterrows():
+        m = glm_state_evolution(
+            alpha=row["alpha"], prior_type="gauss_bernoulli",
+            output_type="gaussian", prior_rho=row["prior_rho"],
+            output_var=1e-2)
+        se = StateEvolution(m)
+        se.iterate(max_iter=200,
+                   initializer=CustomInit(a_init=[("x", "bwd", 0.0)]))
+        v_seq = float(np.mean(np.asarray(se.get_variable_data("x")["v"])))
+        np.testing.assert_allclose(row["v"], v_seq, rtol=1e-8)
+    csv = tmp_path / "grid.csv"
+    assert save_grid_csv(df, str(csv))
+    assert csv.exists()
+    assert sum(1 for _ in open(csv)) == 7
+
+
 def test_batched_per_instance_initializers():
     """solve_batch with a list of CustomInit (per-instance informed inits)
     matches per-instance sequential solves with the same inits — the
