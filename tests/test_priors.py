@@ -101,3 +101,81 @@ def test_gauss_bernoulli_forward_error_vs_reference_formula():
     want = (1 - 0.3) * gm(0.0, np.sqrt(ax), v_func) + 0.3 * gm(
         0.0, np.sqrt(ax + ax**2), v_func)
     np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+# -- SE measures for Positive/Exponential priors (NotImplemented in the
+# reference, positive_prior.py:60-76 / exponential_prior.py:60-76) --------
+
+SE_PRIORS = [
+    PositivePrior(size=10, isotropic=False),
+    ExponentialPrior(size=10, mean=0.7, isotropic=False),
+]
+
+
+@pytest.mark.parametrize("prior", SE_PRIORS, ids=lambda p: type(p).__name__)
+@pytest.mark.parametrize("ax", [0.5, 2.0, 20.0])
+def test_positive_exponential_beliefs_measure_normalized(prior, ax):
+    mu = float(prior.beliefs_measure(ax, lambda bx: 1.0))
+    # the exponential measure truncates x at 10 like the reference
+    # (exp(-10/0.7) ~ 6e-7 missing mass)
+    np.testing.assert_allclose(mu, 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("prior,sampler", [
+    (PositivePrior(size=10, isotropic=False),
+     lambda rng, n: np.abs(rng.randn(n))),
+    (ExponentialPrior(size=10, mean=0.7, isotropic=False),
+     lambda rng, n: rng.exponential(scale=0.7, size=n)),
+], ids=["PositivePrior", "ExponentialPrior"])
+@pytest.mark.parametrize("ax", [0.5, 2.0, 20.0])
+def test_positive_exponential_se_error_vs_monte_carlo(prior, sampler, ax):
+    """Nishimori: SE forward error == BO-ensemble posterior variance ==
+    ensemble MSE of the posterior mean."""
+    rng = np.random.RandomState(0)
+    n = 200_000
+    xs = sampler(rng, n)
+    bx = ax * xs + np.sqrt(ax) * rng.randn(n)
+    r, v = prior.compute_forward_posterior(ax, jnp.asarray(bx))
+    se = float(prior.compute_forward_error(ax))
+    np.testing.assert_allclose(se, float(jnp.mean(v)), rtol=2e-2)
+    np.testing.assert_allclose(
+        se, float(np.mean((np.asarray(r) - xs) ** 2)), rtol=2e-2)
+
+
+def test_positive_prior_rs_reduces_to_bo():
+    "b_measure(ax, ax, 0) == beliefs_measure(ax); both normalized."
+    prior = PositivePrior(size=10)
+    np.testing.assert_allclose(
+        float(prior.b_measure(2.0, 1.5, 0.5, lambda bx: 1.0)), 1.0,
+        rtol=1e-10)
+    f = lambda bx: bx**2  # noqa: E731
+    np.testing.assert_allclose(
+        float(prior.b_measure(3.0, 3.0, 0.0, f)),
+        float(prior.beliefs_measure(3.0, f)), rtol=1e-12)
+
+
+def test_positive_prior_bx_measure_moments():
+    """bx_measure(f=1) = E[x*] of the tilted half-normal; with f=bx it
+    gives E[x* bx] = mx_hat E[x*^2] (since E[xi]=0)."""
+    prior = PositivePrior(size=10)
+    mx_hat, qx_hat, tx0 = 1.7, 0.9, 0.5
+    v0 = 1.0 / (1.0 + tx0)
+    # half-normal with variance v0: E[x] = sqrt(2 v0 / pi), E[x^2] = v0
+    Ex = np.sqrt(2 * v0 / np.pi)
+    np.testing.assert_allclose(
+        float(prior.bx_measure(mx_hat, qx_hat, tx0, lambda bx: 1.0)),
+        Ex, rtol=1e-10)
+    np.testing.assert_allclose(
+        float(prior.bx_measure(mx_hat, qx_hat, tx0, lambda bx: bx)),
+        mx_hat * v0, rtol=1e-10)
+
+
+def test_positive_prior_se_glm_end_to_end():
+    "StateEvolution on a positive-prior GLM now runs (reference cannot)."
+    from tramp_tpu import glm_state_evolution, StateEvolution
+    m = glm_state_evolution(alpha=2.0, prior_type="positive",
+                            output_type="gaussian", output_var=1e-2)
+    se = StateEvolution(m)
+    se.iterate(max_iter=200)
+    v = float(np.mean(np.asarray(se.get_variable_data("x")["v"])))
+    assert 0 < v < 0.1, v

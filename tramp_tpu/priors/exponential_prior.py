@@ -59,3 +59,22 @@ class ExponentialPrior(Prior):
 
     def measure(self, f):
         return exponential_measure(self.mean, f)
+
+    def beliefs_measure(self, ax, f):
+        """BO SE measure (NotImplemented in the reference,
+        exponential_prior.py:60-76): bx = ax x* + sqrt(ax) xi with
+        x* ~ Exp(mean); exponential nodes (truncated at 10, matching the
+        reference's measure convention) x standard-normal nodes on a
+        trailing axis."""
+        from ..utils.integration import std_normal_nodes
+
+        xs, ws = std_normal_nodes()
+        xs = jnp.asarray(xs)
+        ws = jnp.asarray(ws)
+        sa = jnp.sqrt(ax)
+
+        def inner(x):
+            bx = ax * x[..., None] + sa * xs
+            return jnp.sum(ws * f(bx), axis=-1)
+
+        return exponential_measure(self.mean, inner)
