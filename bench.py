@@ -1,22 +1,34 @@
 #!/usr/bin/env python
 """Benchmark: AMP (EP) iterations/s/chip on the reference's headline workload
-(sparse linear regression / compressed sensing GLM, BASELINE.md).
+(sparse linear regression / compressed sensing GLM, BASELINE.md), plus
+on-device accuracy and a nonlinear (piecewise-linear / Pallas) workload.
 
 Prints ONE JSON line:
   {"metric": "ep_iterations_per_s_N1e4", "value": ..., "unit": "iter/s",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "cpu_single_core_iter_per_s": ...,
+   "accuracy": {...}, "nonlinear": {...}, "matmul_precision": "..."}
 
 - value: EP message-passing iterations/s at N=10^4, aggregated over a batch
-  of instances sharing the sensing matrix (vmapped; the SVD-basis matvecs
-  become MXU matmuls).
-- vs_baseline: ratio vs the same workload on a SINGLE CPU CORE (taskset -c 0,
-  XLA CPU, batch=1) — the reference tramp is single-core numpy whose EP
-  iteration cost is the same two dense matvecs, so this is a faithful proxy
-  for the reference baseline (its deps, networkx<2, cannot be installed
-  here). Cached in .bench_cpu_baseline.json.
+  of instances sharing the sensing matrix but each with its OWN observation
+  y (vmapped; the SVD-basis matvecs become MXU matmuls).
+- vs_baseline: ratio vs the same workload on a SINGLE CPU CORE (taskset -c
+  0, XLA CPU, batch=1) — the reference tramp is single-core numpy whose EP
+  iteration cost is the same two dense matvecs, so this is a conservative
+  proxy for the reference baseline (its deps, networkx<2, cannot be
+  installed here). The raw measured CPU iter/s is included so the ratio is
+  auditable. Cached in .bench_cpu_baseline.json.
+- accuracy: the flagship instance solved TO CONVERGENCE on the TPU in
+  float32 vs the same instance at float64 on CPU (the reference's working
+  precision): final empirical MSE vs the ground-truth signal, posterior
+  variance v, and the relative v error f32-vs-f64 (reference protocol
+  computes MSE alongside time, examples/figures/compute_benchmark.py:34-46).
+- nonlinear: EP iterations/s on a two-layer relu network (mid-graph
+  PiecewiseLinearChannel — the erfcx-heavy denoiser path), with the fused
+  Pallas kernel vs plain XLA (config.USE_PALLAS=False) speedup.
 
-Usage: python bench.py            (TPU via ambient axon env)
+Usage: python bench.py                  (TPU via ambient axon env)
        python bench.py --cpu-baseline   (internal: single-core CPU measure)
+       python bench.py --cpu-f64        (internal: float64 fixed point)
 """
 import json
 import os
@@ -24,8 +36,8 @@ import subprocess
 import sys
 import time
 
-# persistent compilation cache: the batch-512 EP graph takes minutes to
-# compile through the remote-compile tunnel; cache it across runs
+# persistent compilation cache: the batched EP graphs take minutes to
+# compile through the remote-compile tunnel; cache them across runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
@@ -35,11 +47,23 @@ ALPHA = 0.5
 RHO = 0.25
 NOISE = 1e-2
 N_LOOP = 20
-BATCH_TPU = 768  # throughput knee measured on v5e (161.6k iter/s;
-                 # 512 -> 149.9k, 1024 -> 123.3k: HBM pressure)
+BATCH_TPU = 768  # throughput knee measured on v5e (see docs/implementation.md)
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cpu_baseline.json")
+#: matmul precision for the SVD-basis matvecs. "default" lowers f32 matmuls
+#: to bf16 MXU passes on TPU; the EP fixed point at az ~ 1e4 keeps v-parity
+#: with the f64 fixed point (measured in `accuracy` below), so the fast
+#: path is used for throughput and accuracy is *measured every run* rather
+#: than assumed.
+MATMUL_PRECISION = "default"
+
+# nonlinear (PL / Pallas) workload: two-layer relu network
+NL_N = 4096
+NL_ALPHA = 0.5
+NL_BATCH = 256
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(_DIR, ".bench_cpu_baseline.json")
+CACHE_F64 = os.path.join(_DIR, ".bench_cpu_f64.json")
 
 
 def build(N, alpha, dtype):
@@ -55,8 +79,7 @@ def build(N, alpha, dtype):
     W = (rng.randn(M, N) / np.sqrt(N)).astype(np.float64)
     # host SVD in float64 (cached on disk: ~2min at N=1e4 on 2 cores),
     # shipped to device in the working dtype
-    svd_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             f".bench_svd_{M}x{N}.npz")
+    svd_cache = os.path.join(_DIR, f".bench_svd_{M}x{N}.npz")
     if os.path.exists(svd_cache):
         d = np.load(svd_cache)
         U, s, Vt = d["U"], d["s"], d["Vt"]
@@ -76,11 +99,28 @@ def build(N, alpha, dtype):
     sample = teacher.sample(jax.random.PRNGKey(1))
     student = teacher.to_observed(
         {"y": jnp.asarray(sample["y"], dtype)})
-    return student, sample
+    return student, teacher, sample
 
 
-def bench_iterations(student, batch, n_loop):
-    "Time n_loop fused EP sweeps (optionally vmapped over batch ys)."
+def _batched_model(student, ys):
+    "Stack observations ys (one per lane) onto the student's y leaf."
+    import jax
+
+    y_leaf = None
+    for f in student.factors:
+        if hasattr(f, "y") and f.y is not None:
+            y_leaf = f.y
+    leaves, treedef = jax.tree.flatten(student)
+    in_axes_leaves = [0 if l is y_leaf else None for l in leaves]
+    in_axes_model = jax.tree.unflatten(treedef, in_axes_leaves)
+    stacked_leaves = [ys if l is y_leaf else l for l in leaves]
+    model_in = jax.tree.unflatten(treedef, stacked_leaves)
+    return model_in, in_axes_model
+
+
+def bench_iterations(student, teacher, batch, n_loop):
+    """Time n_loop fused EP sweeps, vmapped over `batch` lanes each with
+    its own observation y (sampled from the teacher)."""
     import jax
     import jax.numpy as jnp
     import tramp_tpu as tt
@@ -95,17 +135,11 @@ def bench_iterations(student, batch, n_loop):
         return jax.lax.fori_loop(0, n_loop, body, state)
 
     if batch > 1:
-        # batch over observations: same W, different y (vmapped leaf)
-        y_leaf = None
-        for f in student.factors:
-            if hasattr(f, "y") and f.y is not None:
-                y_leaf = f.y
-        leaves, treedef = jax.tree.flatten(student)
-        in_axes_leaves = [0 if l is y_leaf else None for l in leaves]
-        in_axes_model = jax.tree.unflatten(treedef, in_axes_leaves)
-        stacked_leaves = [
-            jnp.stack([l] * batch) if l is y_leaf else l for l in leaves]
-        model_in = jax.tree.unflatten(treedef, stacked_leaves)
+        dtype = student.factors[-1].y.dtype
+        keys = jax.random.split(jax.random.PRNGKey(3), batch)
+        ys = jax.jit(jax.vmap(
+            lambda k: jnp.asarray(teacher.sample(k)["y"], dtype)))(keys)
+        model_in, in_axes_model = _batched_model(student, ys)
         fn = jax.jit(jax.vmap(loop, in_axes=(in_axes_model, None)))
     else:
         model_in = student
@@ -122,44 +156,138 @@ def bench_iterations(student, batch, n_loop):
     return batch * n_loop / best
 
 
-def main_cpu_baseline():
+def solve_flagship(dtype):
+    "Solve the flagship instance to convergence; returns (mse, v, n_iter)."
+    import numpy as np
+    from tramp_tpu.parallel import EPSolver
+
+    student, _, sample = build(N, ALPHA, dtype)
+    solver = EPSolver(student, damping=0.1, max_iter=500, tol=1e-6)
+    post, n_iter = solver.solve(student)
+    r = np.asarray(post["x"]["r"], dtype=np.float64)
+    x0 = np.asarray(sample["x"], dtype=np.float64)
+    mse = float(np.mean((r - x0) ** 2))
+    v = float(np.mean(np.asarray(post["x"]["v"], dtype=np.float64)))
+    return dict(mse=mse, v=v, n_iter=int(n_iter))
+
+
+def build_nonlinear(dtype):
+    "Two-layer relu network: x -> W -> relu -> + noise -> y."
     import jax
-    student, _ = build(N, ALPHA, "float32")
-    its = bench_iterations(student, batch=1, n_loop=10)
+    import jax.numpy as jnp
+    import tramp_tpu as tt
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.channels import LinearChannel, GaussianChannel, ReluChannel
+
+    M = int(NL_ALPHA * NL_N)
+    key = jax.random.PRNGKey(11)
+    W = (jax.random.normal(key, (M, NL_N)) / jnp.sqrt(NL_N)).astype(dtype)
+    teacher = (
+        GaussBernoulliPrior(size=NL_N, rho=RHO) @ tt.V(id="x") @
+        LinearChannel(W, name="W") @ tt.V(id="z") @
+        ReluChannel() @ tt.V(id="a") @
+        GaussianChannel(var=NOISE) @ tt.O(id="y")
+    ).to_model()
+    sample = teacher.sample(jax.random.PRNGKey(12))
+    student = teacher.to_observed({"y": jnp.asarray(sample["y"], dtype)})
+    return student, teacher
+
+
+def bench_nonlinear():
+    "Relu-network EP iter/s: fused Pallas vs plain XLA."
+    import jax
+    from tramp_tpu import config
+
+    student, teacher = build_nonlinear("float32")
+    # the Pallas kernel only lowers on TPU; elsewhere both passes are XLA
+    config.USE_PALLAS = True if jax.default_backend() == "tpu" else None
+    fused = bench_iterations(student, teacher, NL_BATCH, N_LOOP)
+    config.USE_PALLAS = False
+    plain = bench_iterations(student, teacher, NL_BATCH, N_LOOP)
+    config.USE_PALLAS = None
+    return dict(metric="relu_net_ep_iterations_per_s_N4096",
+                value=round(fused, 2), unit="iter/s",
+                plain_xla=round(plain, 2),
+                pallas_speedup=round(fused / plain, 3))
+
+
+def _run_subprocess(flag, cache_file, timeout=3000):
+    if os.path.exists(cache_file):
+        with open(cache_file) as f:
+            return json.load(f)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    cmd = [sys.executable, os.path.abspath(__file__), flag]
+    if flag == "--cpu-baseline":
+        cmd = ["taskset", "-c", "0"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=timeout)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    result = json.loads(line)
+    with open(cache_file, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def main_cpu_baseline():
+    student, teacher, _ = build(N, ALPHA, "float32")
+    its = bench_iterations(student, teacher, batch=1, n_loop=10)
     print(json.dumps({"cpu_single_core_iter_per_s": its}))
+
+
+def main_cpu_f64():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    print(json.dumps(solve_flagship("float64")))
 
 
 def main():
     if "--cpu-baseline" in sys.argv:
         main_cpu_baseline()
         return
+    if "--cpu-f64" in sys.argv:
+        main_cpu_f64()
+        return
 
-    # single-core CPU baseline (cached)
-    if os.path.exists(CACHE):
-        with open(CACHE) as f:
-            cpu_its = json.load(f)["cpu_single_core_iter_per_s"]
-    else:
-        env = dict(os.environ)
-        env["PALLAS_AXON_POOL_IPS"] = ""
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = ""
-        out = subprocess.run(
-            ["taskset", "-c", "0", sys.executable,
-             os.path.abspath(__file__), "--cpu-baseline"],
-            env=env, capture_output=True, text=True, timeout=3000)
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("{")][-1]
-        cpu_its = json.loads(line)["cpu_single_core_iter_per_s"]
-        with open(CACHE, "w") as f:
-            json.dump({"cpu_single_core_iter_per_s": cpu_its}, f)
+    import jax
 
-    student, _ = build(N, ALPHA, "float32")
-    tpu_its = bench_iterations(student, batch=BATCH_TPU, n_loop=N_LOOP)
+    cpu_its = _run_subprocess(
+        "--cpu-baseline", CACHE)["cpu_single_core_iter_per_s"]
+    f64 = _run_subprocess("--cpu-f64", CACHE_F64)
+
+    with jax.default_matmul_precision(MATMUL_PRECISION):
+        # throughput (flagship CS GLM, varied y per lane)
+        student, teacher, _ = build(N, ALPHA, "float32")
+        tpu_its = bench_iterations(student, teacher, BATCH_TPU, N_LOOP)
+
+        # on-device accuracy: f32 TPU fixed point vs f64 CPU fixed point
+        f32 = solve_flagship("float32")
+
+        nonlinear = bench_nonlinear()
+
+    accuracy = {
+        "final_mse_tpu_f32": f32["mse"],
+        "final_v_tpu_f32": f32["v"],
+        "n_iter_tpu_f32": f32["n_iter"],
+        "final_mse_cpu_f64": f64["mse"],
+        "final_v_cpu_f64": f64["v"],
+        "n_iter_cpu_f64": f64["n_iter"],
+        "v_rel_err_f32_vs_f64": abs(f32["v"] - f64["v"]) / abs(f64["v"]),
+        "mse_rel_err_f32_vs_f64": abs(f32["mse"] - f64["mse"]) / abs(
+            f64["mse"]),
+    }
+
     print(json.dumps({
         "metric": "ep_iterations_per_s_N1e4",
         "value": round(tpu_its, 2),
         "unit": "iter/s",
         "vs_baseline": round(tpu_its / cpu_its, 2),
+        "cpu_single_core_iter_per_s": round(cpu_its, 4),
+        "matmul_precision": MATMUL_PRECISION,
+        "accuracy": accuracy,
+        "nonlinear": nonlinear,
     }))
 
 
