@@ -47,13 +47,17 @@ ALPHA = 0.5
 RHO = 0.25
 NOISE = 1e-2
 N_LOOP = 20
-BATCH_TPU = 768  # throughput knee measured on v5e (see docs/implementation.md)
+BATCH_TPU = 896  # throughput knee measured on v5e (see docs/implementation.md:
+                 # 512->166.7k, 768->169.0k, 896->170.9k, 1024->126.2k iter/s)
 
-#: matmul precision for the SVD-basis matvecs. "default" lowers f32 matmuls
-#: to bf16 MXU passes on TPU; the EP fixed point at az ~ 1e4 keeps v-parity
-#: with the f64 fixed point (measured in `accuracy` below), so the fast
-#: path is used for throughput and accuracy is *measured every run* rather
-#: than assumed.
+#: matmul precision for the SVD-basis matvecs. Measured on v5e (flagship
+#: fixed point, see docs/implementation.md): "default" (bf16 MXU passes)
+#: adds only ~2e-5 relative v-error on top of float32 itself (TPU-f32 vs
+#: CPU-f32, where CPU matmuls are exact f32), while the total f32-vs-f64
+#: deviation is ~2.6e-2 — inherent to f32 EP, unfixable by matmul
+#: precision. "highest" costs 4.8x (35.0k vs 169.0k iter/s) and buys
+#: nothing. Accuracy is measured every run (accuracy block) rather than
+#: assumed.
 MATMUL_PRECISION = "default"
 
 # nonlinear (PL / Pallas) workload: two-layer relu network
@@ -64,6 +68,7 @@ NL_BATCH = 256
 _DIR = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(_DIR, ".bench_cpu_baseline.json")
 CACHE_F64 = os.path.join(_DIR, ".bench_cpu_f64.json")
+CACHE_F32 = os.path.join(_DIR, ".bench_cpu_f32.json")
 
 
 def build(N, alpha, dtype):
@@ -156,6 +161,19 @@ def bench_iterations(student, teacher, batch, n_loop):
     return batch * n_loop / best
 
 
+def se_prediction():
+    "Bayes-optimal SE variance for the flagship (alpha, rho, noise) point."
+    import numpy as np
+    from tramp_tpu import glm_state_evolution, StateEvolution
+
+    m = glm_state_evolution(alpha=ALPHA, prior_type="gauss_bernoulli",
+                            output_type="gaussian", prior_rho=RHO,
+                            output_var=NOISE)
+    se = StateEvolution(m)
+    se.iterate(max_iter=500)
+    return float(np.mean(np.asarray(se.get_variable_data("x")["v"])))
+
+
 def solve_flagship(dtype):
     "Solve the flagship instance to convergence; returns (mse, v, n_iter)."
     import numpy as np
@@ -193,8 +211,44 @@ def build_nonlinear(dtype):
     return student, teacher
 
 
+def bench_pl_kernel_micro(n=8_000_000):
+    """Kernel-level microbench: fused Pallas PL posterior vs the plain-XLA
+    chain on a PL-denoiser-only workload (no GEMMs), isolating the
+    HBM-fusion claim. TPU only."""
+    import jax
+    import jax.numpy as jnp
+    from tramp_tpu.ops import fused_pl_posterior, pl_posterior_reference
+    from tramp_tpu.channels import ReluChannel
+
+    if jax.default_backend() != "tpu":
+        return {}
+    specs = ReluChannel().region_specs
+    bz = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32)
+    bx = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
+    az, ax = jnp.float32(1.3), jnp.float32(0.7)
+    out = {}
+    for name, f in (
+            ("fused", jax.jit(
+                lambda bz, bx: fused_pl_posterior(az, bz, ax, bx, specs))),
+            ("plain", jax.jit(
+                lambda bz, bx: pl_posterior_reference(
+                    az, bz, ax, bx, specs)))):
+        o = f(bz, bx)
+        jax.block_until_ready(o)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = f(bz, bx)
+            jax.block_until_ready(o)
+            best = min(best, time.perf_counter() - t0)
+        out[name] = best
+    return {"pallas_kernel_ms": round(out["fused"] * 1e3, 3),
+            "plain_xla_kernel_ms": round(out["plain"] * 1e3, 3),
+            "pallas_kernel_speedup": round(out["plain"] / out["fused"], 3)}
+
+
 def bench_nonlinear():
-    "Relu-network EP iter/s: fused Pallas vs plain XLA."
+    "Relu-network EP iter/s: fused Pallas vs plain XLA, + kernel microbench."
     import jax
     from tramp_tpu import config
 
@@ -208,7 +262,8 @@ def bench_nonlinear():
     return dict(metric="relu_net_ep_iterations_per_s_N4096",
                 value=round(fused, 2), unit="iter/s",
                 plain_xla=round(plain, 2),
-                pallas_speedup=round(fused / plain, 3))
+                pallas_speedup=round(fused / plain, 3),
+                **bench_pl_kernel_micro())
 
 
 def _run_subprocess(flag, cache_file, timeout=3000):
@@ -243,6 +298,13 @@ def main_cpu_f64():
     print(json.dumps(solve_flagship("float64")))
 
 
+def main_cpu_f32():
+    # control for decomposing f32-dtype error from bf16-MXU error: CPU
+    # computes f32 matmuls exactly, so (TPU f32) - (CPU f32) isolates the
+    # MXU contribution
+    print(json.dumps(solve_flagship("float32")))
+
+
 def main():
     if "--cpu-baseline" in sys.argv:
         main_cpu_baseline()
@@ -250,12 +312,16 @@ def main():
     if "--cpu-f64" in sys.argv:
         main_cpu_f64()
         return
+    if "--cpu-f32" in sys.argv:
+        main_cpu_f32()
+        return
 
     import jax
 
     cpu_its = _run_subprocess(
         "--cpu-baseline", CACHE)["cpu_single_core_iter_per_s"]
     f64 = _run_subprocess("--cpu-f64", CACHE_F64)
+    cpu_f32 = _run_subprocess("--cpu-f32", CACHE_F32)
 
     with jax.default_matmul_precision(MATMUL_PRECISION):
         # throughput (flagship CS GLM, varied y per lane)
@@ -268,15 +334,25 @@ def main():
         nonlinear = bench_nonlinear()
 
     accuracy = {
+        # analytic Bayes-optimal anchor: instance MSEs fluctuate around
+        # this at the finite-N ~5% level (reference protocol plots EP mse
+        # against exactly this SE curve)
+        "v_se_prediction": se_prediction(),
         "final_mse_tpu_f32": f32["mse"],
         "final_v_tpu_f32": f32["v"],
         "n_iter_tpu_f32": f32["n_iter"],
         "final_mse_cpu_f64": f64["mse"],
         "final_v_cpu_f64": f64["v"],
         "n_iter_cpu_f64": f64["n_iter"],
+        "final_v_cpu_f32": cpu_f32["v"],
+        # total f32-vs-f64 deviation (inherent to float32 EP)...
         "v_rel_err_f32_vs_f64": abs(f32["v"] - f64["v"]) / abs(f64["v"]),
         "mse_rel_err_f32_vs_f64": abs(f32["mse"] - f64["mse"]) / abs(
             f64["mse"]),
+        # ...vs the TPU-specific (bf16 MXU) part: TPU f32 vs CPU f32,
+        # where CPU matmuls are exact f32
+        "v_rel_err_tpu_vs_cpu_f32": abs(f32["v"] - cpu_f32["v"]) / abs(
+            cpu_f32["v"]),
     }
 
     print(json.dumps({
