@@ -47,8 +47,9 @@ ALPHA = 0.5
 RHO = 0.25
 NOISE = 1e-2
 N_LOOP = 20
-BATCH_TPU = 896  # throughput knee measured on v5e (see docs/implementation.md:
-                 # 512->166.7k, 768->169.0k, 896->170.9k, 1024->126.2k iter/s)
+BATCH_TPU = 768  # best measured on v5e with chained (dispatch-latency-free)
+                 # timing: 768 -> 199.9k, 896 -> 195.8k iter/s; 1024 falls
+                 # off a cliff (~126k) — see docs/performance.md
 
 #: matmul precision for the SVD-basis matvecs. Measured on v5e (flagship
 #: fixed point, see docs/implementation.md): "default" (bf16 MXU passes)
@@ -145,20 +146,30 @@ def bench_iterations(student, teacher, batch, n_loop):
         ys = jax.jit(jax.vmap(
             lambda k: jnp.asarray(teacher.sample(k)["y"], dtype)))(keys)
         model_in, in_axes_model = _batched_model(student, ys)
-        fn = jax.jit(jax.vmap(loop, in_axes=(in_axes_model, None)))
+        # state carries a batch axis so the chained timing below can feed
+        # each call's output state into the next call
+        state0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + jnp.shape(x)),
+            state0)
+        fn = jax.jit(jax.vmap(loop, in_axes=(in_axes_model, 0)))
     else:
         model_in = student
         fn = jax.jit(loop)
 
     out = fn(model_in, state0)  # compile + warmup
     jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = fn(model_in, state0)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return batch * n_loop / best
+    # chained timing: each call consumes the previous call's state, so no
+    # two calls have identical inputs (defeats any execution-result caching
+    # in the remote runtime) and the chain cannot pipeline asynchronously.
+    # EP state evolves toward its fixed point; per-call FLOPs are identical.
+    reps = 3
+    state = out
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = fn(model_in, state)
+    jax.block_until_ready(state)
+    elapsed = (time.perf_counter() - t0) / reps
+    return batch * n_loop / elapsed
 
 
 def se_prediction():
@@ -235,13 +246,15 @@ def bench_pl_kernel_micro(n=8_000_000):
                     az, bz, ax, bx, specs)))):
         o = f(bz, bx)
         jax.block_until_ready(o)
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            o = f(bz, bx)
-            jax.block_until_ready(o)
-            best = min(best, time.perf_counter() - t0)
-        out[name] = best
+        # chained timing (see bench_iterations): feed rz back as bz
+        reps = 5
+        b = bz
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = f(b, bx)
+            b = o[0]
+        jax.block_until_ready(b)
+        out[name] = (time.perf_counter() - t0) / reps
     return {"pallas_kernel_ms": round(out["fused"] * 1e3, 3),
             "plain_xla_kernel_ms": round(out["plain"] * 1e3, 3),
             "pallas_kernel_speedup": round(out["plain"] / out["fused"], 3)}

@@ -189,3 +189,45 @@ def test_batched_per_instance_initializers():
         np.testing.assert_allclose(v_batch[k], v_seq, rtol=1e-6)
     # the two basins are genuinely different at this alpha
     assert v_batch[1] < v_batch[0] / 10
+
+
+def test_checkpoint_resume_sharded(tmp_path):
+    """Orbax checkpoint mid-solve on the sharded batch == uninterrupted
+    solve (the interruption point is before any lane converges, so the
+    sweep sequence is identical)."""
+    from tramp_tpu.parallel import save_checkpoint, restore_checkpoint
+
+    mesh = make_mesh((8, 1), ("data", "model"))
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    models, _ = zip(*[_build(64, 0.7, k) for k in keys])
+    stacked = shard_batched_model(stack_pytrees(list(models)), mesh)
+
+    # rollback disabled in both: the (i > wait_increase) divergence window
+    # restarts at a resume, so rollback-triggering lanes legitimately take
+    # a different (better-converged) path than the uninterrupted run
+    inf = float("inf")
+    with mesh:
+        # uninterrupted
+        full_solver = EPSolver(models[0], damping=0.1, max_iter=100,
+                               tol=1e-8, rollback_increase=inf)
+        post_full, n_full = full_solver.solve_batch(stacked)
+
+        # 7 iterations, checkpoint, restore, resume
+        part_solver = EPSolver(models[0], damping=0.1, max_iter=7,
+                               tol=1e-12, rollback_increase=inf)
+        _, state7, n7 = part_solver.solve_batch_with_state(stacked)
+        assert int(np.asarray(n7).max()) == 7
+        path = tmp_path / "ckpt"
+        save_checkpoint(path, state7, n7)
+        state_r, n_r = restore_checkpoint(path, like=(state7, n7))
+        np.testing.assert_array_equal(np.asarray(n_r), np.asarray(n7))
+        for a, b in zip(jax.tree.leaves(state_r), jax.tree.leaves(state7)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        rest_solver = EPSolver(models[0], damping=0.1, max_iter=93,
+                               tol=1e-8, rollback_increase=inf)
+        post_rest, n_rest = rest_solver.solve_batch(stacked, state=state_r)
+
+    np.testing.assert_allclose(
+        np.asarray(post_rest["x"]["r"]), np.asarray(post_full["x"]["r"]),
+        rtol=1e-8, atol=1e-12)

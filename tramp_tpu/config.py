@@ -23,8 +23,15 @@ GH_NODES = 127
 GL_NODES = 65
 
 
-#: Fused Pallas kernels: None = auto (enabled on TPU backends for f32/bf16
-#: arrays of at least PALLAS_MIN_SIZE elements), True/False = force.
+#: Fused Pallas kernels: None = auto, True/False = force. Auto currently
+#: resolves to False: the piecewise-linear posterior is VPU-compute-bound
+#: (transcendental-heavy truncated-normal moments, ~0.9 ns/element on v5e
+#: = ~4% of HBM peak bandwidth), so the fused kernel measures ~1.0x vs
+#: plain XLA at the
+#: kernel level (8M-element microbench, see docs/performance.md) while
+#: adding compile time. The kernel stays available (USE_PALLAS=True) and
+#: tested; flip the auto default if a future memory-bound path (bf16, more
+#: regions, fused multi-factor sweeps) changes the balance.
 USE_PALLAS = None
 PALLAS_MIN_SIZE = 2048
 
@@ -34,12 +41,14 @@ def use_pallas(x):
     array ``x``."""
     import numpy as np
     if USE_PALLAS is not None:
-        return USE_PALLAS
-    if x.dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    if np.prod(x.shape, dtype=int) < PALLAS_MIN_SIZE:
-        return False
-    return jax.default_backend() == "tpu"
+        if not USE_PALLAS:
+            return False
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            return False
+        if np.prod(x.shape, dtype=int) < PALLAS_MIN_SIZE:
+            return False
+        return jax.default_backend() == "tpu"
+    return False
 
 
 def default_dtype():

@@ -108,23 +108,38 @@ class _Solver:
             model, state, jnp.asarray(self.max_iter), jnp.asarray(self.tol))
         return post, n_iter
 
-    def solve_batch(self, stacked_model, initializer=None):
+    def solve_batch(self, stacked_model, initializer=None, state=None):
         """Solve a batch of instances (stacked leading axis on every model
         leaf). `initializer` may be a single InitialConditions (initial
         state broadcast across the batch) or a list of them, one per
         instance (e.g. per-instance informed CustomInit); the fused loop
-        runs until every instance converges."""
-        if isinstance(initializer, (list, tuple)):
-            state = stack_pytrees([self.init_state(iz) for iz in initializer])
-            post, _, n_iter = self._jit_batch_state(
+        runs until every instance converges. Passing `state` (a batched
+        state, e.g. restored from a checkpoint) resumes from it."""
+        post, _, n_iter = self._solve_batch(stacked_model, initializer,
+                                            state)
+        return post, n_iter
+
+    def solve_batch_with_state(self, stacked_model, initializer=None,
+                               state=None):
+        """Like solve_batch but also returns the final batched message
+        state, for checkpointing (see parallel.checkpoint) or warm
+        restarts."""
+        return self._solve_batch(stacked_model, initializer, state)
+
+    def _solve_batch(self, stacked_model, initializer, state):
+        if state is not None:
+            return self._jit_batch_state(
                 stacked_model, state,
                 jnp.asarray(self.max_iter), jnp.asarray(self.tol))
-            return post, n_iter
+        if isinstance(initializer, (list, tuple)):
+            state = stack_pytrees([self.init_state(iz) for iz in initializer])
+            return self._jit_batch_state(
+                stacked_model, state,
+                jnp.asarray(self.max_iter), jnp.asarray(self.tol))
         state = self.init_state(initializer)
-        post, _, n_iter = self._jit_batch(
+        return self._jit_batch(
             stacked_model, state,
             jnp.asarray(self.max_iter), jnp.asarray(self.tol))
-        return post, n_iter
 
 
 class EPSolver(_Solver):
