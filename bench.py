@@ -266,15 +266,17 @@ def bench_nonlinear():
     from tramp_tpu import config
 
     student, teacher = build_nonlinear("float32")
-    # the Pallas kernel only lowers on TPU; elsewhere both passes are XLA
-    config.USE_PALLAS = True if jax.default_backend() == "tpu" else None
-    fused = bench_iterations(student, teacher, NL_BATCH, N_LOOP)
+    # production path: plain XLA (the auto gate resolves to False — the PL
+    # posterior is VPU-compute-bound, docs/performance.md)
     config.USE_PALLAS = False
     plain = bench_iterations(student, teacher, NL_BATCH, N_LOOP)
+    # the Pallas kernel only lowers on TPU; elsewhere both passes are XLA
+    config.USE_PALLAS = True if jax.default_backend() == "tpu" else False
+    fused = bench_iterations(student, teacher, NL_BATCH, N_LOOP)
     config.USE_PALLAS = None
     return dict(metric="relu_net_ep_iterations_per_s_N4096",
-                value=round(fused, 2), unit="iter/s",
-                plain_xla=round(plain, 2),
+                value=round(plain, 2), unit="iter/s",
+                pallas_fused=round(fused, 2),
                 pallas_speedup=round(fused / plain, 3),
                 **bench_pl_kernel_micro())
 
@@ -287,6 +289,10 @@ def _run_subprocess(flag, cache_file, timeout=3000):
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = ""
+    # CPU subprocesses skip the persistent compile cache: its AOT entries
+    # are machine-feature-specific (a cache written on another host warns /
+    # can SIGILL), and the CPU graphs compile in seconds anyway
+    env["JAX_COMPILATION_CACHE_DIR"] = ""
     cmd = [sys.executable, os.path.abspath(__file__), flag]
     if flag == "--cpu-baseline":
         cmd = ["taskset", "-c", "0"] + cmd

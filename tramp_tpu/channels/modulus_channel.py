@@ -28,11 +28,10 @@ likelihood's (b=|bz|, y=rho*) measure (same derivation as reference
 tramp/likelihoods/modulus_likelihood.py:101-120) with bx | y ~ N(ax y, ax).
 """
 import jax.numpy as jnp
-from jax.scipy.special import logsumexp
 
 from .base_channel import Channel
 from ..utils.misc import array2complex, complex2array
-from ..utils.integration import composite_gauss_legendre, gaussian_measure
+from ..utils.integration import composite_gauss_legendre
 from ..likelihoods.modulus_likelihood import i0e, ive_ratio, normalize
 
 #: radial quadrature: panels x order nodes over the peak bracket

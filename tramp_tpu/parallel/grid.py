@@ -12,7 +12,6 @@ import itertools
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from .solver import SESolver, stack_pytrees
 from .mesh import shard_batched_model
