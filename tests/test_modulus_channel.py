@@ -155,3 +155,17 @@ def test_modulus_channel_mid_graph_ep():
     mse = np.mean(np.abs(x0 - phase * xhat) ** 2) / 2
     tau_x = np.mean(np.abs(x0) ** 2) / 2
     assert mse < 0.5 * tau_x, (mse, tau_x)
+
+
+def test_modulus_channel_mutual_information_zero_at_no_information():
+    """I(az, ax) = 0 at the zero-information point az*tau_z = 1, ax = 0
+    (bz and bx both pinned at 0), and > 0 for informative beliefs — the
+    complex input doubles the az tau_z / entropy bookkeeping vs the
+    generic 1-coordinate Channel formula."""
+    ch = ModulusChannel()
+    tau_z = 0.7
+    I0_ = float(ch.compute_mutual_information(1.0 / tau_z, 0.0, tau_z))
+    np.testing.assert_allclose(I0_, 0.0, atol=1e-6)
+    assert float(ch.compute_mutual_information(2.0, 1.0, tau_z)) > 0.01
+    assert float(ch.compute_mutual_information(3.0, 2.0, tau_z)) > \
+        float(ch.compute_mutual_information(2.0, 1.0, tau_z))

@@ -171,6 +171,16 @@ class ModulusChannel(Channel):
             return logZ
         return self.beliefs_measure(az, ax, tau_z, f=log_partition)
 
+    def compute_mutual_information(self, az, ax, tau_z):
+        """The generic Channel formula assumes one real coordinate per
+        element; the modulus input z has TWO (complex), so the az tau_z
+        energy and the Gaussian entropy terms double (validated: I = 0 at
+        the zero-information point az tau_z = 1, ax = 0)."""
+        tau_x = self.second_moment(tau_z)
+        A = self.compute_free_energy(az, ax, tau_z)
+        return (0.5 * (2 * az * tau_z + ax * tau_x) - A
+                + jnp.log(2 * jnp.pi * tau_z / jnp.e))
+
     def beliefs_measure(self, az, ax, tau_z, f):
         """BO ensemble average of f(bz, bx). Same (b=|bz|, y=rho*) measure
         as ModulusLikelihood.beliefs_measure (reference
