@@ -59,6 +59,30 @@ def test_sharded_batched_ep():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_shard_map_explicit_collectives():
+    """solve_batch_shard_map: per-device local while_loops + explicit
+    all_gather/psum collectives; per-lane results bit-match the GSPMD
+    solve_batch path."""
+    from tramp_tpu.parallel import solve_batch_shard_map
+
+    mesh = make_mesh((8,), ("data",))
+    keys = jax.random.split(jax.random.PRNGKey(5), 8)
+    models, _ = zip(*[_build(32, 0.7, k) for k in keys])
+    solver = EPSolver(models[0], damping=0.1, max_iter=100, tol=1e-8)
+    stacked = stack_pytrees(list(models))
+    post_ref, n_iter_ref = solver.solve_batch(stacked)
+    post, n_iter, n_conv = solve_batch_shard_map(solver, stacked, mesh)
+    np.testing.assert_array_equal(np.asarray(n_iter),
+                                  np.asarray(n_iter_ref))
+    assert int(n_conv) == int(np.sum(np.asarray(n_iter_ref) < 100))
+    np.testing.assert_allclose(np.asarray(post["x"]["r"]),
+                               np.asarray(post_ref["x"]["r"]),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(post["x"]["v"]),
+                               np.asarray(post_ref["x"]["v"]),
+                               rtol=1e-10, atol=1e-14)
+
+
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -57,11 +57,27 @@ class LinearChannel(Channel):
         n_eff = jnp.where(ax == 0, 0.0, n_eff)
         return n_eff
 
+    def _mm(self, A, x, transpose=False):
+        """``A @ x`` (or ``A.T @ x``) for the SVD-basis factors. On TPU
+        (config.matvec_bf16) both operands stream as bfloat16 with float32
+        accumulation — numerically equivalent to the default-precision MXU
+        pass, which rounds f32 operands to bf16 per pass anyway, but with
+        half the HBM weight traffic; XLA hoists the loop-invariant casts
+        out of the fused sweep loop."""
+        from .. import config
+        if not config.matvec_bf16():
+            return (A.T if transpose else A) @ x
+        import jax
+        dn = (((0 if transpose else 1,), (0,)), ((), ()))
+        return jax.lax.dot_general(
+            A.astype(jnp.bfloat16), x.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32)
+
     def _mean_svd(self, az, bz, ax, bx):
         "rz in the SVD basis via the resolvent 1/(az + ax s^2). Ref l:69-83."
         k = self.s.shape[0]
-        bx_svd = self.U.T @ bx            # (Nx,)
-        bz_svd = self.V.T @ bz            # (Nz,)
+        bx_svd = self._mm(self.U, bx, transpose=True)   # (Nx,)
+        bz_svd = self._mm(self.V, bz, transpose=True)   # (Nz,)
         resolvent = 1.0 / (az + ax * self.spectrum)
         if bz.ndim > 1:
             resolvent = resolvent[:, None]
@@ -71,7 +87,7 @@ class LinearChannel(Channel):
         return resolvent * (bz_svd + Stbx)
 
     def compute_backward_mean(self, az, bz, ax, bx):
-        return self.V @ self._mean_svd(az, bz, ax, bx)
+        return self._mm(self.V, self._mean_svd(az, bz, ax, bx))
 
     def compute_forward_mean(self, az, bz, ax, bx):
         # rx = W rz = U S V^T V rz_svd = U (s * rz_svd): one (Nx, Nx)
@@ -84,7 +100,7 @@ class LinearChannel(Channel):
         if self.Nx > k:
             pad = [(0, self.Nx - k)] + [(0, 0)] * (rx_svd.ndim - 1)
             rx_svd = jnp.pad(rx_svd, pad)
-        return self.U @ rx_svd
+        return self._mm(self.U, rx_svd)
 
     def compute_backward_variance(self, az, ax):
         az = jnp.maximum(1e-11, az)

@@ -35,6 +35,24 @@ GL_NODES = 65
 USE_PALLAS = None
 PALLAS_MIN_SIZE = 2048
 
+#: bfloat16 weight streaming for the dense SVD-basis matvecs of
+#: LinearChannel: None = auto (True on TPU when x64 is disabled), True /
+#: False = force. Under the default matmul precision the MXU rounds f32
+#: operands to bfloat16 per pass anyway, so casting the loop-invariant
+#: U/V factors to bf16 *before* the GEMM is numerically equivalent while
+#: halving their HBM traffic (the sweep is HBM-bound, docs/performance.md);
+#: XLA's while-loop LICM hoists the casts out of the sweep loop.
+#: Accumulation stays float32 (preferred_element_type).
+MATVEC_BF16 = None
+
+
+def matvec_bf16():
+    "Resolve the MATVEC_BF16 gate at trace time."
+    if MATVEC_BF16 is not None:
+        return bool(MATVEC_BF16)
+    return (jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64)
+
 
 def use_pallas(x):
     """Decide (at trace time) whether to use the fused Pallas path for

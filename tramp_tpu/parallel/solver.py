@@ -142,6 +142,60 @@ class _Solver:
             jnp.asarray(self.max_iter), jnp.asarray(self.tol))
 
 
+def solve_batch_shard_map(solver, stacked_model, mesh, data_axis="data",
+                          initializer=None):
+    """Explicit-collectives batch solve (SURVEY.md §5.8): `jax.shard_map`
+    splits the instance batch over the mesh's `data_axis`; each device runs
+    the fused convergence while_loop on its LOCAL shard only (vmap inside
+    shard_map), so a device whose lanes have all converged stops sweeping
+    instead of synchronizing with the globally slowest lane every iteration
+    (the GSPMD `solve_batch` path compiles to one global loop). The only
+    cross-device communication is explicit and final: `lax.all_gather` of
+    the per-shard posteriors / iteration counts and a `lax.psum` of the
+    converged-lane count, riding ICI.
+
+    Per-lane results are bit-identical to `solve_batch` (converged lanes
+    are frozen inside the loop either way). Returns
+    ``(post, n_iter, n_converged)``, fully replicated on every device.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[data_axis]
+    batch = jax.tree.leaves(stacked_model)[0].shape[0]
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by "
+                         f"{data_axis}={n_dev}")
+    state0 = solver.init_state(initializer)
+    max_iter = jnp.asarray(solver.max_iter)
+    tol = jnp.asarray(solver.tol)
+
+    def local(model_shard, state0, max_iter, tol):
+        run = jax.vmap(solver._run, in_axes=(0, None, None, None))
+        post, _, n_iter = run(model_shard, state0, max_iter, tol)
+        n_conv = jax.lax.psum(jnp.sum(n_iter < max_iter), data_axis)
+        post = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, data_axis, axis=0, tiled=True),
+            post)
+        n_iter = jax.lax.all_gather(n_iter, data_axis, axis=0, tiled=True)
+        return post, n_iter, n_conv
+
+    in_model_specs = jax.tree.map(lambda _: P(data_axis), stacked_model)
+    rep = jax.tree.map(lambda _: P(), (state0, max_iter, tol))
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(in_model_specs,) + rep,
+        out_specs=(P(), P(), P()),
+        # the while_loop carry inits (zeros state, i=0, done=False) are
+        # replicated while the loop makes them device-varying; VMA
+        # inference rejects that promotion, so opt out of the check
+        check_vma=False))
+    return fn(stacked_model, state0, max_iter, tol)
+
+
 class EPSolver(_Solver):
     engine_cls = ExpectationPropagation
 
