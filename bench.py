@@ -37,10 +37,18 @@ import sys
 import time
 
 # persistent compilation cache: the batched EP graphs take minutes to
-# compile through the remote-compile tunnel; cache them across runs
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+# compile through the remote-compile tunnel; cache them across runs.
+# NOTE: must be set via jax.config.update (see _enable_compile_cache) —
+# the ambient sitecustomize.py imports jax at interpreter startup, before
+# this module runs, so the JAX_COMPILATION_CACHE_DIR env var is latched
+# empty by then.
+
+
+def _enable_compile_cache():
+    import jax
+    cache_dir = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.join(_DIR, ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 N = 10_000
 ALPHA = 0.5
@@ -337,6 +345,7 @@ def main():
 
     import jax
 
+    _enable_compile_cache()
     cpu_its = _run_subprocess(
         "--cpu-baseline", CACHE)["cpu_single_core_iter_per_s"]
     f64 = _run_subprocess("--cpu-f64", CACHE_F64)
