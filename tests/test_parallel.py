@@ -74,7 +74,24 @@ def test_shard_map_explicit_collectives():
     post, n_iter, n_conv = solve_batch_shard_map(solver, stacked, mesh)
     np.testing.assert_array_equal(np.asarray(n_iter),
                                   np.asarray(n_iter_ref))
-    assert int(n_conv) == int(np.sum(np.asarray(n_iter_ref) < 100))
+    # n_conv counts lanes whose delta < tol criterion actually fired (the
+    # threaded `conv` flag, not an n_iter proxy): 7 of these 8 lanes
+    # converge; lane 7 runs to max_iter=100 without reaching tol=1e-8
+    assert int(n_conv) == 7
+    assert int(np.sum(np.asarray(n_iter_ref) == 100)) == 1
+    # repeated call reuses the cached compiled shard_map executable
+    assert len(solver._shard_map_cache) == 1
+    post2, _, _ = solve_batch_shard_map(solver, stacked, mesh)
+    assert len(solver._shard_map_cache) == 1
+    np.testing.assert_array_equal(np.asarray(post2["x"]["r"]),
+                                  np.asarray(post["x"]["r"]))
+    # per-instance initializer lists are solve_batch-only: clear error
+    import pytest
+    from tramp_tpu.algos import CustomInit
+    with pytest.raises(ValueError, match="solve_batch"):
+        solve_batch_shard_map(
+            solver, stacked, mesh,
+            initializer=[CustomInit(a_init=[("x", "bwd", 1.0)])] * 8)
     np.testing.assert_allclose(np.asarray(post["x"]["r"]),
                                np.asarray(post_ref["x"]["r"]),
                                rtol=1e-10, atol=1e-14)

@@ -147,3 +147,20 @@ def test_kernel_mode_special_functions():
         assert np.array_equal(np.isfinite(a), np.isfinite(b)), name
         np.testing.assert_allclose(
             b[mask], a[mask], rtol=1e-12, atol=1e-300, err_msg=name)
+
+
+def test_erfcx_float32_mid_range():
+    """f32 regression (round-3): the direct exp(x^2)*erfc(x) product must
+    not be used where f32 exp overflows (x ~ 9.4-25): that produced
+    inf * 0 = NaN and first-sweep NaNs in the VAE-prior chain. The
+    threshold is dtype-aware; f32 values must match f64 to f32 accuracy."""
+    from tramp_tpu.utils.special import erfcx
+
+    xs = np.array([5.0, 8.9, 9.1, 10.0, 12.0, 20.0, 24.9, 25.1, 30.0, 100.0])
+    got32 = np.asarray(erfcx(jnp.asarray(xs, jnp.float32)), np.float64)
+    want = sp.erfcx(xs)
+    assert np.all(np.isfinite(got32))
+    np.testing.assert_allclose(got32, want, rtol=2e-6)
+    # negative side still overflows to inf exactly like scipy
+    neg = np.asarray(erfcx(jnp.asarray([-15.0], jnp.float32)))
+    assert np.isinf(neg).all()

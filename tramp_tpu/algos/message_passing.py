@@ -313,7 +313,12 @@ class MessagePassing:
             if kind == "v":
                 out.append(jnp.mean(1.0 / post["a"]))
             else:
-                out.append(post["b"] / post["a"])
+                # NaN-free also on the a=0,b=0 init state (where b/a would
+                # be 0/0): posterior precisions after any sweep are >= AMIN,
+                # so the floor only affects the first-iteration metric
+                a = post["a"]
+                tiny = jnp.finfo(jnp.result_type(a)).tiny
+                out.append(post["b"] / jnp.maximum(a, tiny))
         return tuple(out)
 
     def _delta_increase(self, kind, new_m, old_m):
@@ -330,9 +335,18 @@ class MessagePassing:
 
         def norm(x):
             return jnp.sqrt(jnp.mean(x**2))
-        deltas = jnp.stack(
-            [norm(n - o) / jnp.maximum(norm(n), 1e-300)
-             for n, o in zip(new_m, old_m)])
+
+        def rel(n, o):
+            # dtype-aware division guard: 1e-300 underflows to 0 in float32,
+            # turning the metric into 0/0 = NaN in an exactly-symmetric
+            # phase (r = 0, e.g. zero-mean phase retrieval) and silently
+            # disabling early-stop AND divergence rollback. finfo.tiny keeps
+            # the guard live in every dtype: r = 0 with no change reads as
+            # delta = 0 (converged-in-r), matching the f64 reference.
+            nn = norm(n)
+            return norm(n - o) / jnp.maximum(nn, jnp.finfo(nn.dtype).tiny)
+
+        deltas = jnp.stack([rel(n, o) for n, o in zip(new_m, old_m)])
         d = deltas.max()
         return d, d
 

@@ -60,10 +60,12 @@ class LinearChannel(Channel):
     def _mm(self, A, x, transpose=False):
         """``A @ x`` (or ``A.T @ x``) for the SVD-basis factors. On TPU
         (config.matvec_bf16) both operands stream as bfloat16 with float32
-        accumulation — numerically equivalent to the default-precision MXU
-        pass, which rounds f32 operands to bf16 per pass anyway, but with
-        half the HBM weight traffic; XLA hoists the loop-invariant casts
-        out of the fused sweep loop."""
+        accumulation, halving their HBM weight traffic; XLA hoists the
+        loop-invariant casts out of the fused sweep loop. The operand
+        rounding matches a single-pass bf16 MXU pass, but the measured
+        fixed-point error vs the exact-f32 CPU control grows from ~2e-5 to
+        ~7.6e-4 (docs/performance.md) — users needing exact
+        default-precision parity should set config.MATVEC_BF16 = False."""
         from .. import config
         if not config.matvec_bf16():
             return (A.T if transpose else A) @ x

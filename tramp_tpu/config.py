@@ -37,12 +37,14 @@ PALLAS_MIN_SIZE = 2048
 
 #: bfloat16 weight streaming for the dense SVD-basis matvecs of
 #: LinearChannel: None = auto (True on TPU when x64 is disabled), True /
-#: False = force. Under the default matmul precision the MXU rounds f32
-#: operands to bfloat16 per pass anyway, so casting the loop-invariant
-#: U/V factors to bf16 *before* the GEMM is numerically equivalent while
-#: halving their HBM traffic (the sweep is HBM-bound, docs/performance.md);
-#: XLA's while-loop LICM hoists the casts out of the sweep loop.
-#: Accumulation stays float32 (preferred_element_type).
+#: False = force. Casting the loop-invariant U/V factors to bf16 *before*
+#: the GEMM halves their HBM traffic (the sweep is HBM-bound,
+#: docs/performance.md); XLA's while-loop LICM hoists the casts out of the
+#: sweep loop, and accumulation stays float32 (preferred_element_type).
+#: The operand rounding matches a single-pass bf16 MXU pass, but the
+#: measured fixed-point error vs the exact-f32 CPU control grows from
+#: ~2e-5 to ~7.6e-4 (docs/performance.md) — set False for exact
+#: default-precision parity.
 MATVEC_BF16 = None
 
 

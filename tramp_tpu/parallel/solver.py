@@ -50,13 +50,13 @@ class _Solver:
 
         def run(model, state, max_iter, tol):
             def cond(carry):
-                state, old_m, i, n_iter, done = carry
+                state, old_m, i, n_iter, done, conv = carry
                 return (~done) & (i < max_iter)
 
             kind = eng.default_stop_kind
 
             def body(carry):
-                state, old_m, i, n_iter, done = carry
+                state, old_m, i, n_iter, done, conv = carry
                 swept = eng._sweep(model, state, damp)
                 ok = eng._all_finite(swept)
                 swept = jax.tree.map(
@@ -77,18 +77,23 @@ class _Solver:
                 new_m = jax.tree.map(
                     lambda n, o: jnp.where(done, o, n), new_m, old_m)
                 n_iter = jnp.where(done, n_iter, i + 1)
+                # conv records *actual* convergence (delta < tol), distinct
+                # from done (which also latches on divergence rollback and
+                # non-finite sweeps) — so n_iter < max_iter is never used as
+                # a convergence proxy
+                conv = conv | (~done & converged)
                 done = done | converged | rb | (~ok)
-                return (new_state, new_m, i + 1, n_iter, done)
+                return (new_state, new_m, i + 1, n_iter, done, conv)
 
             m0 = eng._metric(model, state, kind)
-            state, _, _, n_iter, _ = jax.lax.while_loop(
+            state, _, _, n_iter, _, conv = jax.lax.while_loop(
                 cond, body, (state, m0, jnp.asarray(0), jnp.asarray(0),
-                             jnp.asarray(False)))
+                             jnp.asarray(False), jnp.asarray(False)))
             post = {
                 eng.nodes[vi].id: self._post(vi, state)
                 for vi in eng.variable_indices
             }
-            return post, state, n_iter
+            return post, state, n_iter, conv
 
         self._run = run
         self._jit_single = jax.jit(run)
@@ -103,10 +108,17 @@ class _Solver:
 
     def solve(self, model, initializer=None):
         "Solve one instance; returns dict id -> posterior data, and n_iter."
-        state = self.init_state(initializer)
-        post, _, n_iter = self._jit_single(
-            model, state, jnp.asarray(self.max_iter), jnp.asarray(self.tol))
+        post, n_iter, _ = self.solve_info(model, initializer)
         return post, n_iter
+
+    def solve_info(self, model, initializer=None):
+        """Like solve but also returns the converged flag (True iff the
+        delta < tol criterion fired — False for divergence-rollback,
+        non-finite and max_iter stops)."""
+        state = self.init_state(initializer)
+        post, _, n_iter, conv = self._jit_single(
+            model, state, jnp.asarray(self.max_iter), jnp.asarray(self.tol))
+        return post, n_iter, conv
 
     def solve_batch(self, stacked_model, initializer=None, state=None):
         """Solve a batch of instances (stacked leading axis on every model
@@ -115,8 +127,8 @@ class _Solver:
         instance (e.g. per-instance informed CustomInit); the fused loop
         runs until every instance converges. Passing `state` (a batched
         state, e.g. restored from a checkpoint) resumes from it."""
-        post, _, n_iter = self._solve_batch(stacked_model, initializer,
-                                            state)
+        post, _, n_iter, _ = self._solve_batch(stacked_model, initializer,
+                                               state)
         return post, n_iter
 
     def solve_batch_with_state(self, stacked_model, initializer=None,
@@ -124,7 +136,9 @@ class _Solver:
         """Like solve_batch but also returns the final batched message
         state, for checkpointing (see parallel.checkpoint) or warm
         restarts."""
-        return self._solve_batch(stacked_model, initializer, state)
+        post, state, n_iter, _ = self._solve_batch(
+            stacked_model, initializer, state)
+        return post, state, n_iter
 
     def _solve_batch(self, stacked_model, initializer, state):
         if state is not None:
@@ -157,6 +171,12 @@ def solve_batch_shard_map(solver, stacked_model, mesh, data_axis="data",
     Per-lane results are bit-identical to `solve_batch` (converged lanes
     are frozen inside the loop either way). Returns
     ``(post, n_iter, n_converged)``, fully replicated on every device.
+    ``n_converged`` counts lanes whose stopping criterion was actually met
+    (delta < tol), excluding divergence-rollback and non-finite lanes.
+
+    ``initializer`` must be a single InitialConditions (broadcast across
+    the batch); per-instance initializer lists are only supported by
+    ``solve_batch``.
     """
     try:
         from jax import shard_map
@@ -164,6 +184,11 @@ def solve_batch_shard_map(solver, stacked_model, mesh, data_axis="data",
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    if isinstance(initializer, (list, tuple)):
+        raise ValueError(
+            "solve_batch_shard_map broadcasts one initial state across the "
+            "batch; per-instance initializer lists are only supported by "
+            "solve_batch")
     n_dev = mesh.shape[data_axis]
     batch = jax.tree.leaves(stacked_model)[0].shape[0]
     if batch % n_dev:
@@ -173,27 +198,40 @@ def solve_batch_shard_map(solver, stacked_model, mesh, data_axis="data",
     max_iter = jnp.asarray(solver.max_iter)
     tol = jnp.asarray(solver.tol)
 
-    def local(model_shard, state0, max_iter, tol):
-        run = jax.vmap(solver._run, in_axes=(0, None, None, None))
-        post, _, n_iter = run(model_shard, state0, max_iter, tol)
-        n_conv = jax.lax.psum(jnp.sum(n_iter < max_iter), data_axis)
-        post = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, data_axis, axis=0, tiled=True),
-            post)
-        n_iter = jax.lax.all_gather(n_iter, data_axis, axis=0, tiled=True)
-        return post, n_iter, n_conv
+    # cache the jitted shard_map per (mesh, data_axis): a fresh closure per
+    # call would key the jit cache on a new function object and re-trace /
+    # re-compile the fused while_loop graph every invocation
+    cache = getattr(solver, "_shard_map_cache", None)
+    if cache is None:
+        cache = solver._shard_map_cache = {}
+    key = (mesh, data_axis)
+    if key not in cache:
+        def local(model_shard, state0, max_iter, tol):
+            run = jax.vmap(solver._run, in_axes=(0, None, None, None))
+            post, _, n_iter, conv = run(model_shard, state0, max_iter, tol)
+            n_conv = jax.lax.psum(jnp.sum(conv), data_axis)
+            post = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, data_axis, axis=0,
+                                             tiled=True),
+                post)
+            n_iter = jax.lax.all_gather(n_iter, data_axis, axis=0,
+                                        tiled=True)
+            return post, n_iter, n_conv
 
-    in_model_specs = jax.tree.map(lambda _: P(data_axis), stacked_model)
-    rep = jax.tree.map(lambda _: P(), (state0, max_iter, tol))
-    fn = jax.jit(shard_map(
-        local, mesh=mesh,
-        in_specs=(in_model_specs,) + rep,
-        out_specs=(P(), P(), P()),
+        in_model_specs = jax.tree.map(lambda _: P(data_axis), stacked_model)
+        rep = jax.tree.map(lambda _: P(), (state0, max_iter, tol))
         # the while_loop carry inits (zeros state, i=0, done=False) are
-        # replicated while the loop makes them device-varying; VMA
-        # inference rejects that promotion, so opt out of the check
-        check_vma=False))
-    return fn(stacked_model, state0, max_iter, tol)
+        # replicated while the loop makes them device-varying; VMA/rep
+        # inference rejects that promotion, so opt out of the check (the
+        # kwarg is check_vma on current jax, check_rep on older releases)
+        kwargs = dict(mesh=mesh, in_specs=(in_model_specs,) + rep,
+                      out_specs=(P(), P(), P()))
+        try:
+            fn = shard_map(local, check_vma=False, **kwargs)
+        except TypeError:
+            fn = shard_map(local, check_rep=False, **kwargs)
+        cache[key] = jax.jit(fn)
+    return cache[key](stacked_model, state0, max_iter, tol)
 
 
 class EPSolver(_Solver):

@@ -25,9 +25,19 @@ SQRT2 = 1.4142135623730951
 SQRT_PI = 1.7724538509055159
 SQRT_2PI = 2.5066282746310002
 
-# |x| below which exp(x^2)*erfc(x) is computed directly without overflow
-# (float64 overflows at x ~ 26.6; erfc underflows around 27).
-_ERFCX_DIRECT_MAX = 25.0
+# |x| below which exp(x^2)*erfc(x) is computed directly without overflow.
+# DTYPE-AWARE: float64 exp overflows at x ~ 26.6 (erfc underflows ~27), but
+# float32 exp(x^2) overflows already at x ~ 9.4 while erfc underflows to 0,
+# so the f64 threshold would produce inf * 0 = NaN for x in [9.4, 25] on
+# TPU f32 (seen as first-sweep NaNs in the VAE-prior chain). The 5-term
+# asymptotic series at x=9 has relative error ~6e-10, below f32 eps.
+_ERFCX_DIRECT_MAX_F64 = 25.0
+_ERFCX_DIRECT_MAX_F32 = 9.0
+
+
+def _erfcx_direct_max(dtype):
+    return (_ERFCX_DIRECT_MAX_F64 if jnp.finfo(dtype).bits >= 64
+            else _ERFCX_DIRECT_MAX_F32)
 
 # ---------------------------------------------------------------------------
 # Pallas-kernel-safe implementations (no erf/erfc/ndtr primitives)
@@ -140,16 +150,17 @@ def _erfcx_jsp(x):
     """
     x = jnp.asarray(x)
     ax = jnp.abs(x)
-    # direct product, safe for |x| <= 25
-    axc = jnp.minimum(ax, _ERFCX_DIRECT_MAX)
+    dmax = _erfcx_direct_max(ax.dtype)
+    # direct product, safe for |x| <= dmax (dtype-aware, see above)
+    axc = jnp.minimum(ax, dmax)
     direct = jnp.exp(axc * axc) * jsp.erfc(axc)
-    # asymptotic series for |x| > 25:
+    # asymptotic series for |x| > dmax:
     # erfcx(x) ~ (1/(x sqrt(pi))) * sum_n (-1)^n (2n-1)!! / (2x^2)^n
-    axa = jnp.maximum(ax, _ERFCX_DIRECT_MAX)
+    axa = jnp.maximum(ax, dmax)
     z = 1.0 / (2.0 * axa * axa)
     poly = 1.0 + z * (-1.0 + z * (3.0 + z * (-15.0 + z * (105.0 + z * -945.0))))
     asym = poly / (axa * SQRT_PI)
-    pos = jnp.where(ax <= _ERFCX_DIRECT_MAX, direct, asym)
+    pos = jnp.where(ax <= dmax, direct, asym)
     # negative arguments: erfcx(x) = 2 exp(x^2) - erfcx(-x); overflows to +inf
     # for x << 0 exactly as scipy does.
     neg = 2.0 * jnp.exp(jnp.square(x)) - pos
