@@ -28,6 +28,21 @@ class ExpectationPropagation(MessagePassing):
         model.init_shapes()
         super().__init__(model, message_keys=["a", "b"])
 
+    # -- pinned constant messages (message_passing.py pinned machinery) ----
+    def _constant_factor_message(self, node):
+        if node.n_next == 0:
+            fn = getattr(node, "constant_backward_message", None)
+            return fn is not None and fn() is not None
+        if node.n_prev == 0:
+            return getattr(node, "constant_forward_message", None) is not None
+        return False
+
+    def _factor_constant_message(self, model, i):
+        node = model.nodes[i]
+        if node.n_next == 0:
+            return node.constant_backward_message()
+        return node.constant_forward_message()
+
     # -- factor ops -------------------------------------------------------
     def _factor_forward(self, i, node, state, aux):
         prev_msgs, next_msgs = self._gather_factor_inputs(i, state)

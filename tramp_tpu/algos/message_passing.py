@@ -78,6 +78,69 @@ class MessagePassing:
         self.variable_indices = [
             i for i, n in enumerate(self.nodes) if isinstance(n, Variable)]
 
+        # -- pinned (constant) slots --------------------------------------
+        # Factors whose emitted message is a MODEL CONSTANT (the Gaussian
+        # likelihood's backward message a=1/var, b=y/var — the reference's
+        # "constant message fast path", gaussian_likelihood.py:68-71) are
+        # recomputed from the model at the TOP of every sweep instead of
+        # being read back from the loop carry, and never damped (damping a
+        # constant only delays it: d*c + (1-d)*c = c at the fixed point).
+        # Variable cavity slots whose contributors are all pinned are
+        # pinned too. Payoff: inside the fused loop these messages derive
+        # from loop-invariant model leaves, so XLA's LICM hoists the
+        # factor-side GEMMs that consume them (e.g. U^T (y/var) in the
+        # GLM sweep — ~9% of the flagship's FLOPs) out of the loop.
+        from .. import config
+        self.pinned_factor = {}   # slot -> factor node index
+        self.pinned_variable = {} # slot -> (sum of these pinned slots)
+        if config.pin_constant_messages():
+            self._init_pinned_slots()
+        self.pinned = (frozenset(self.pinned_factor)
+                       | frozenset(self.pinned_variable))
+
+    def _init_pinned_slots(self):
+        for i, node in enumerate(self.nodes):
+            if isinstance(node, Variable):
+                continue
+            if node.n_next == 0 and self._constant_factor_message(node):
+                for e in self.model.in_edges[i]:
+                    self.pinned_factor[slot(e, BWD)] = i
+            if node.n_prev == 0 and self._constant_factor_message(node):
+                for e in self.model.out_edges[i]:
+                    self.pinned_factor[slot(e, FWD)] = i
+        for i, node in enumerate(self.nodes):
+            if not isinstance(node, Variable):
+                continue
+            in_slots = ([slot(e, FWD) for e in self.model.in_edges[i]]
+                        + [slot(e, BWD) for e in self.model.out_edges[i]])
+            targets = ([(slot(e, BWD), slot(e, FWD))
+                        for e in self.model.out_edges[i]]
+                       + [(slot(e, FWD), slot(e, BWD))
+                          for e in self.model.in_edges[i]])
+            for excluded, out_slot in targets:
+                contrib = [s for s in in_slots if s != excluded]
+                if contrib and all(s in self.pinned_factor
+                                   for s in contrib):
+                    self.pinned_variable[out_slot] = tuple(contrib)
+
+    def _constant_factor_message(self, node):
+        "Engine hook: True when `node`'s emitted message is model-constant."
+        return False
+
+    def _pinned_values(self, model):
+        """{slot: message} for every pinned slot, computed from the model
+        (loop-invariant). Factor slots first, then the variable cavities
+        that sum them."""
+        out = {}
+        for s, i in self.pinned_factor.items():
+            out[s] = self._factor_constant_message(model, i)
+        for s, contrib in self.pinned_variable.items():
+            out[s] = {
+                key: sum(out[c][key] for c in contrib)
+                for key in self.message_keys
+            }
+        return out
+
     # -- initial state ---------------------------------------------------
     #: SE messages are scalar `a`s: no variable shapes are required, which
     #: lets SE-only factors skip shape propagation entirely (the reference
@@ -154,11 +217,36 @@ class MessagePassing:
             return tuple(damp)
         raise ValueError("damping must be None, float or list")
 
+    # -- bf16 state storage (config.STATE_BF16) ---------------------------
+    # b-message arrays are stored bfloat16 in the loop carry and upcast at
+    # every read, so compute (cavity sums, factor math) stays float32 and
+    # only the carried state pays the HBM traffic.
+    def _store_msg(self, msg):
+        from .. import config
+        if not config.state_bf16():
+            return msg
+        out = {}
+        for k, v in msg.items():
+            if (k == "b" and hasattr(v, "dtype")
+                    and v.dtype == jnp.float32):
+                v = v.astype(jnp.bfloat16)
+            out[k] = v
+        return out
+
+    def _load_msg(self, msg):
+        return {
+            k: (v.astype(jnp.float32)
+                if hasattr(v, "dtype") and v.dtype == jnp.bfloat16 else v)
+            for k, v in msg.items()
+        }
+
     # -- node processing (called at trace time) --------------------------
     def _gather_factor_inputs(self, i, state):
         "az,bz from fwd slots of in-edges; ax,bx from bwd slots of out-edges."
-        prev_msgs = [state[slot(e, FWD)] for e in self.model.in_edges[i]]
-        next_msgs = [state[slot(e, BWD)] for e in self.model.out_edges[i]]
+        prev_msgs = [self._load_msg(state[slot(e, FWD)])
+                     for e in self.model.in_edges[i]]
+        next_msgs = [self._load_msg(state[slot(e, BWD)])
+                     for e in self.model.out_edges[i]]
         return prev_msgs, next_msgs
 
     def _variable_out(self, i, state, direction):
@@ -172,11 +260,12 @@ class MessagePassing:
             targets = [(e, slot(e, BWD)) for e in self.model.out_edges[i]]
         else:
             targets = [(e, slot(e, FWD)) for e in self.model.in_edges[i]]
+        loaded = {s: self._load_msg(state[s]) for s in in_slots}
         for e, excluded in targets:
             msg = {}
             for key in self.message_keys:
                 msg[key] = sum(
-                    state[s][key] for s in in_slots if s != excluded)
+                    loaded[s][key] for s in in_slots if s != excluded)
             out[slot(e, FWD if direction == FWD else BWD)] = msg
         return out
 
@@ -185,7 +274,8 @@ class MessagePassing:
                     + [slot(e, BWD) for e in self.model.out_edges[i]])
         post = {}
         for key in self.message_keys:
-            post[key] = sum(state[s][key] for s in in_slots)
+            post[key] = sum(
+                self._load_msg(state[s])[key] for s in in_slots)
         return post
 
     # subclasses implement: _factor_forward / _factor_backward returning
@@ -262,20 +352,26 @@ class MessagePassing:
         aux = self._prepare(model)
         state = list(state)
         dA = {}
+        # pinned slots: overwrite from the model BEFORE the passes so every
+        # in-body read derives from loop-invariant leaves (LICM-hoistable)
+        for s, msg in self._pinned_values(model).items():
+            state[s] = self._store_msg(msg)
 
         def write(updates):
             for s, msg in updates.items():
+                if s in self.pinned:
+                    continue  # pinned: already set, never damped
                 if adaptive:
                     msg = self._adaptive_update(state, s, msg, is_first)
                 else:
                     d = damp[s]
                     if d:
-                        old = state[s]
+                        old = self._load_msg(state[s])
                         msg = {k: d * old[k] + (1.0 - d) * msg[k]
                                for k in self.message_keys}
                 if update_dA:
                     dA[s] = self._edge_dA(state, s, msg)
-                state[s] = msg
+                state[s] = self._store_msg(msg)
 
         # forward pass
         for i, node in enumerate(model.nodes):

@@ -2,7 +2,6 @@
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.misc import complex2array, array2complex
 
 
 def mean_squared_error(x_true, x_pred):
@@ -19,12 +18,16 @@ def sign_symmetric_mse(x_true, x_pred):
 
 
 def phase_symmetric_mse(x_true, x_pred):
-    "MSE up to a global phase (100-angle scan, reference l:19-26)."
+    """MSE up to a global phase (100-angle scan, reference l:19-26).
+    Computed on the packed re/im planes (no complex dtype — runs on TPU
+    runtimes without complex support, ops/dft.py)."""
     x_true = jnp.asarray(x_true)
-    zp = array2complex(jnp.asarray(x_pred))
+    xp = jnp.asarray(x_pred)
     phis = jnp.linspace(0, 2 * jnp.pi, 100)
-    rotated = jnp.exp(1j * phis)[:, None] * zp[None, :]
-    packed = jnp.stack([jnp.real(rotated), jnp.imag(rotated)], axis=1)
+    c, s = jnp.cos(phis)[:, None], jnp.sin(phis)[:, None]
+    # e^{i phi} (re + i im): re' = c re - s im ; im' = s re + c im
+    packed = jnp.stack([c * xp[0][None] - s * xp[1][None],
+                        s * xp[0][None] + c * xp[1][None]], axis=1)
     mses = jnp.mean((x_true[None] - packed) ** 2, axis=(1, 2))
     return float(jnp.min(mses))
 

@@ -1,9 +1,17 @@
 """Complex linear channel x = W z with complex SVD; complex arrays packed
-as real (2, ...) arrays. Reference tramp/channels/linear/complex_linear_channel.py."""
+as real (2, ...) arrays. Reference tramp/channels/linear/complex_linear_channel.py.
+
+The SVD factors are stored as (2, n, n) re/im pairs and applied with real
+matmuls (ops/dft.py:pair_matmul) — no complex dtype on device, which runs
+on TPU runtimes without complex support at the same cost (XLA decomposes
+complex dots into real dots anyway). The SVD itself is computed host-side
+in numpy (complex128) at construction, like LinearChannel's host SVD path.
+"""
+import numpy as np
 import jax.numpy as jnp
 
 from .base_channel import Channel
-from ..utils.misc import complex2array, array2complex
+from ..ops.dft import pack_const, pair_matmul
 
 
 class ComplexLinearChannel(Channel):
@@ -12,26 +20,28 @@ class ComplexLinearChannel(Channel):
     _meta_fields = ("Nx", "Nz", "rank", "alpha", "name")
 
     def __init__(self, W, name="W", rank=None, svd=None):
-        W = jnp.asarray(W)
-        self.W = W
+        W = np.asarray(W)
         self.Nx, self.Nz = W.shape
         self.name = name
         if svd is not None:
-            U, s, Vh = svd
+            U, s, Vh = (np.asarray(a) for a in svd)
         else:
-            U, s, Vh = jnp.linalg.svd(W, full_matrices=True)
-        self.U = U                # (Nx, Nx) complex
-        self.V = Vh.conj().T      # (Nz, Nz) complex
+            U, s, Vh = np.linalg.svd(W, full_matrices=True)
+        self.W = pack_const(W)          # (2, Nx, Nz)
+        self.U = pack_const(U)          # (2, Nx, Nx)
+        self.V = pack_const(Vh.conj().T)  # (2, Nz, Nz)
         k = min(self.Nx, self.Nz)
-        self.s = s
-        self.spectrum = jnp.zeros(self.Nz).at[:k].set(s**2)
+        self.s = jnp.asarray(np.real(s))
+        spectrum = np.zeros(self.Nz)
+        spectrum[:k] = np.real(s) ** 2
+        self.spectrum = jnp.asarray(spectrum)
         self.rank = rank if rank is not None else int(
-            jnp.sum(s > s[0] * max(self.Nx, self.Nz) * 1e-12))
+            np.sum(s > s[0] * max(self.Nx, self.Nz) * 1e-12))
         self.singular = self.spectrum[:self.rank]
         self.alpha = self.Nx / self.Nz
 
     def sample(self, key, Z):
-        return complex2array(self.W @ array2complex(Z))
+        return pair_matmul(self.W, Z)
 
     def math(self):
         return rf"${self.name}$"
@@ -45,27 +55,25 @@ class ComplexLinearChannel(Channel):
         return jnp.where(ax == 0, 0.0, n_eff)
 
     def _mean_svd(self, az, bz, ax, bx):
-        bzc = array2complex(bz)
-        bxc = array2complex(bx)
+        "Packed rz in the SVD basis via the resolvent 1/(az + ax s^2)."
         k = self.s.shape[0]
-        bx_svd = self.U.conj().T @ bxc
-        bz_svd = self.V.conj().T @ bzc
+        bx_svd = pair_matmul(self.U, bx, adjoint=True)   # (2, Nx)
+        bz_svd = pair_matmul(self.V, bz, adjoint=True)   # (2, Nz)
         resolvent = 1.0 / (az + ax * self.spectrum)
-        Stbx = jnp.zeros_like(bz_svd).at[:k].set(self.s * bx_svd[:k])
+        Stbx = jnp.zeros_like(bz_svd).at[:, :k].set(self.s * bx_svd[:, :k])
         return resolvent * (bz_svd + Stbx)
 
-    def compute_backward_mean(self, az, bz, ax, bx, complex_out=False):
-        rz = self.V @ self._mean_svd(az, bz, ax, bx)
-        return rz if complex_out else complex2array(rz)
+    def compute_backward_mean(self, az, bz, ax, bx):
+        return pair_matmul(self.V, self._mean_svd(az, bz, ax, bx))
 
     def compute_forward_mean(self, az, bz, ax, bx):
         # rx = W rz = U (s * rz_svd), as in LinearChannel.compute_forward_mean
         rz_svd = self._mean_svd(az, bz, ax, bx)
         k = self.s.shape[0]
-        rx_svd = self.s * rz_svd[:k]
+        rx_svd = self.s * rz_svd[:, :k]
         if self.Nx > k:
-            rx_svd = jnp.pad(rx_svd, (0, self.Nx - k))
-        return complex2array(self.U @ rx_svd)
+            rx_svd = jnp.pad(rx_svd, ((0, 0), (0, self.Nx - k)))
+        return pair_matmul(self.U, rx_svd)
 
     def compute_backward_variance(self, az, ax):
         n_eff = self.compute_n_eff(az, ax)
@@ -94,8 +102,7 @@ class ComplexLinearChannel(Channel):
 
     def compute_log_partition(self, az, bz, ax, bx):
         rz = self.compute_backward_mean(az, bz, ax, bx)
-        b = complex2array(
-            array2complex(bz) + self.W.conj().T @ array2complex(bx))
+        b = bz + pair_matmul(self.W, bx, adjoint=True)
         a = az + ax * self.spectrum
         return 0.5 * jnp.sum(b * rz) + jnp.sum(jnp.log(2 * jnp.pi / a))
 

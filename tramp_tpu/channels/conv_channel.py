@@ -6,7 +6,8 @@ TPU notes: jnp.fft on TPU lowers to XLA's FFT; spectra are precomputed
 host-side as numpy constants."""
 import numpy as np
 import jax.numpy as jnp
-from jax.numpy.fft import fftn, ifftn
+from ..ops import dft
+from ..ops.dft import fftn, ifftn
 
 from .base_channel import Channel
 from ..utils.conv_filters import (
@@ -16,26 +17,42 @@ from ..utils.misc import complex2array, array2complex
 
 class ConvChannel(Channel):
     """x = w * z (circular). filter weights w[u] = f*[-u]; w_fft = conj(f_fft).
-    Reference conv_channel.py:13-165."""
+    Reference conv_channel.py:13-165.
+
+    Two spectral modes (ops/dft.py:packed_mode): complex dtype + XLA FFT,
+    or packed-real (2, ...) pairs + real DFT matmuls (MXU) for runtimes
+    without complex/FFT support."""
 
     _data_fields = ("filter", "w_fft", "w_fft_bar", "spectrum")
-    _meta_fields = ("shape", "real")
+    _meta_fields = ("shape", "real", "packed")
 
     def __init__(self, filter, real=True):
         filter = np.asarray(filter)
         self.shape = filter.shape
         self.real = real
+        self.packed = dft.packed_mode()
         self.filter = jnp.asarray(filter)
         w_fft_bar = np.fft.fftn(filter)
-        self.w_fft_bar = jnp.asarray(w_fft_bar)
-        self.w_fft = jnp.asarray(np.conjugate(w_fft_bar))
+        if self.packed:
+            self.w_fft_bar = dft.pack_const(w_fft_bar)
+            self.w_fft = dft.pack_const(np.conjugate(w_fft_bar))
+        else:
+            self.w_fft_bar = jnp.asarray(w_fft_bar)
+            self.w_fft = jnp.asarray(np.conjugate(w_fft_bar))
         self.spectrum = jnp.asarray(np.abs(w_fft_bar) ** 2)
 
     def convolve(self, z):
+        if self.packed:
+            z_fft = dft.fftn_real(z) if self.real else dft.fftn_pair(z)
+            prod = dft.pair_mul(self.w_fft, z_fft)
+            return (dft.ifftn_pair_real(prod) if self.real
+                    else dft.ifftn_pair(prod))
         x = ifftn(self.w_fft * fftn(z))
         return jnp.real(x) if self.real else x
 
     def sample(self, key, Z):
+        if self.packed:
+            return self.convolve(Z)
         if not self.real:
             Z = array2complex(Z)
         X = self.convolve(Z)
@@ -53,12 +70,25 @@ class ConvChannel(Channel):
         return jnp.where(ax == 0, 0.0, n_eff)
 
     def compute_backward_mean(self, az, bz, ax, bx, return_fft=False):
+        resolvent = 1.0 / (az + ax * self.spectrum)
+        if self.packed:
+            if self.real:
+                bx_fft = dft.fftn_real(bx)
+                bz_fft = dft.fftn_real(bz)
+            else:
+                bx_fft = dft.fftn_pair(bx)
+                bz_fft = dft.fftn_pair(bz)
+            rz_fft = resolvent * (bz_fft
+                                  + dft.pair_mul(self.w_fft_bar, bx_fft))
+            if return_fft:
+                return rz_fft
+            return (dft.ifftn_pair_real(rz_fft) if self.real
+                    else dft.ifftn_pair(rz_fft))
         if not self.real:
             bz = array2complex(bz)
             bx = array2complex(bx)
         bx_fft = fftn(bx)
         bz_fft = fftn(bz)
-        resolvent = 1.0 / (az + ax * self.spectrum)
         rz_fft = resolvent * (bz_fft + self.w_fft_bar * bx_fft)
         if return_fft:
             return rz_fft
@@ -67,6 +97,10 @@ class ConvChannel(Channel):
 
     def compute_forward_mean(self, az, bz, ax, bx):
         rz_fft = self.compute_backward_mean(az, bz, ax, bx, return_fft=True)
+        if self.packed:
+            prod = dft.pair_mul(self.w_fft, rz_fft)
+            return (dft.ifftn_pair_real(prod) if self.real
+                    else dft.ifftn_pair(prod))
         rx = ifftn(self.w_fft * rz_fft)
         return jnp.real(rx) if self.real else complex2array(rx)
 

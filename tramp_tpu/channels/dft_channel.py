@@ -1,8 +1,14 @@
 """Unitary DFT channel x = FFT z (ortho-normalized): messages are FFTs.
-Reference tramp/channels/linear/dft_channel.py."""
-import jax.numpy as jnp
-from jax.numpy.fft import fftn, ifftn
+Reference tramp/channels/linear/dft_channel.py.
 
+Two spectral modes (chosen at construction, ops/dft.py:packed_mode):
+complex dtype + XLA FFT, or packed-real (2, ...) pairs + real DFT matmuls
+for runtimes without complex/FFT support (the output x is a packed pair in
+BOTH modes — complex variables use the reference's complex2array layout).
+"""
+import jax.numpy as jnp
+
+from ..ops import dft
 from .base_channel import Channel
 from ..utils.misc import complex2array, array2complex
 
@@ -10,15 +16,20 @@ from ..utils.misc import complex2array, array2complex
 class DFTChannel(Channel):
 
     _data_fields = ()
-    _meta_fields = ("real",)
+    _meta_fields = ("real", "packed")
 
     def __init__(self, real=True):
         self.real = real
+        self.packed = dft.packed_mode()
 
     def sample(self, key, Z):
+        if self.packed:
+            if self.real:
+                return dft.fftn_real(Z, norm="ortho")
+            return dft.fftn_pair(Z, norm="ortho")
         if not self.real:
             Z = array2complex(Z)
-        return complex2array(fftn(Z, norm="ortho"))
+        return complex2array(dft.fftn(Z, norm="ortho"))
 
     def math(self):
         return r"$\mathcal{F}$"
@@ -27,13 +38,21 @@ class DFTChannel(Channel):
         return tau_z
 
     def compute_forward_message(self, az, bz, ax, bx):
+        if self.packed:
+            bx_new = (dft.fftn_real(bz, norm="ortho") if self.real
+                      else dft.fftn_pair(bz, norm="ortho"))
+            return az, bx_new
         if not self.real:
             bz = array2complex(bz)
-        bx_new = complex2array(fftn(bz, norm="ortho"))
+        bx_new = complex2array(dft.fftn(bz, norm="ortho"))
         return az, bx_new
 
     def compute_backward_message(self, az, bz, ax, bx):
-        bz_new = ifftn(array2complex(bx), norm="ortho")
+        if self.packed:
+            bz_new = (dft.ifftn_pair_real(bx, norm="ortho") if self.real
+                      else dft.ifftn_pair(bx, norm="ortho"))
+            return ax, bz_new
+        bz_new = dft.ifftn(array2complex(bx), norm="ortho")
         bz_new = jnp.real(bz_new) if self.real else complex2array(bz_new)
         return ax, bz_new
 

@@ -30,9 +30,9 @@ tramp/likelihoods/modulus_likelihood.py:101-120) with bx | y ~ N(ax y, ax).
 import jax.numpy as jnp
 
 from .base_channel import Channel
-from ..utils.misc import array2complex, complex2array
 from ..utils.integration import composite_gauss_legendre
-from ..likelihoods.modulus_likelihood import i0e, ive_ratio, normalize
+from ..likelihoods.modulus_likelihood import (
+    i0e, ive_ratio, pair_abs, pair_normalize)
 
 #: radial quadrature: panels x order nodes over the peak bracket
 _R_PANELS = 8
@@ -54,7 +54,7 @@ def _radial_moments(az, bz, ax, bx, panels=_R_PANELS, order=_R_ORDER):
     log \int_0^inf 2 pi rho e^{...} I0(b rho) drho.
     """
     a = jnp.maximum(az + ax, 1e-11)
-    b = jnp.abs(array2complex(bz))
+    b = pair_abs(bz)
     sigma = 1.0 / jnp.sqrt(a)
 
     # peak bracket: g'(rho) = -a rho + c_eff + 1/rho with the Bessel slope
@@ -95,7 +95,7 @@ class ModulusChannel(Channel):
         self.isotropic = isotropic
 
     def sample(self, key, Z):
-        return jnp.abs(array2complex(Z))
+        return pair_abs(Z)
 
     def math(self):
         return r"$|\cdot|$"
@@ -106,7 +106,7 @@ class ModulusChannel(Channel):
     # -- posteriors --------------------------------------------------------
     def scalar_backward_mean(self, az, bz, ax, bx):
         _, _, mI, _ = _radial_moments(az, bz, ax, bx)
-        return complex2array(normalize(array2complex(bz)) * mI)
+        return pair_normalize(bz) * mI
 
     def scalar_backward_variance(self, az, bz, ax, bx):
         _, m2, mI, _ = _radial_moments(az, bz, ax, bx)
@@ -122,7 +122,7 @@ class ModulusChannel(Channel):
 
     def compute_backward_posterior(self, az, bz, ax, bx):
         _, m2, mI, _ = _radial_moments(az, bz, ax, bx)
-        rz = complex2array(normalize(array2complex(bz)) * mI)
+        rz = pair_normalize(bz) * mI
         vz = 0.5 * (m2 - mI**2)
         if self.isotropic:
             vz = jnp.mean(vz)

@@ -1,10 +1,17 @@
 """Complex unitary channel x = U z, packed-real representation.
-Reference tramp/channels/linear/unitary_channel.py."""
+Reference tramp/channels/linear/unitary_channel.py.
+
+The unitary matrix is stored as a (2, N, N) re/im pair and applied with
+real matmuls (ops/dft.py:pair_matmul) — no complex dtype anywhere, which
+(a) runs on TPU runtimes without complex support and (b) costs the same
+as a complex matmul (XLA decomposes complex dots into real dots anyway).
+Messages stay in the packed (2, N) layout of utils.misc.complex2array.
+"""
 import numpy as np
 import jax.numpy as jnp
 
 from .base_channel import Channel
-from ..utils.misc import complex2array, array2complex
+from ..ops.dft import pack_const, pair_matmul
 
 
 def check_unitary(U):
@@ -21,13 +28,14 @@ class UnitaryChannel(Channel):
     _meta_fields = ("name", "N")
 
     def __init__(self, U, name="U"):
+        U = np.asarray(U)
         check_unitary(U)
         self.name = name
         self.N = U.shape[0]
-        self.U = jnp.asarray(U)
+        self.U = pack_const(U)   # (2, N, N) re/im pair
 
     def sample(self, key, Z):
-        return complex2array(self.U @ array2complex(Z))
+        return pair_matmul(self.U, Z)
 
     def math(self):
         return rf"${self.name}$"
@@ -36,10 +44,10 @@ class UnitaryChannel(Channel):
         return tau_z
 
     def compute_forward_message(self, az, bz, ax, bx):
-        return az, complex2array(self.U @ array2complex(bz))
+        return az, pair_matmul(self.U, bz)
 
     def compute_backward_message(self, az, bz, ax, bx):
-        return ax, complex2array(self.U.conj().T @ array2complex(bx))
+        return ax, pair_matmul(self.U, bx, adjoint=True)
 
     def compute_forward_state_evolution(self, az, ax, tau_z):
         return az
@@ -48,8 +56,7 @@ class UnitaryChannel(Channel):
         return ax
 
     def compute_log_partition(self, az, bz, ax, bx):
-        b = complex2array(
-            array2complex(bz) + self.U.conj().T @ array2complex(bx))
+        b = bz + pair_matmul(self.U, bx, adjoint=True)
         a = az + ax
         return 0.5 * jnp.sum(b**2 / a) + self.N * jnp.log(2 * jnp.pi / a)
 

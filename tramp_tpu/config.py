@@ -56,6 +56,57 @@ def matvec_bf16():
             and not jax.config.jax_enable_x64)
 
 
+#: bfloat16 storage for the b-message arrays of the EP state (the message
+#: state is ~78% of the sweep's HBM traffic, docs/performance.md): b slots
+#: are stored bf16 in the while_loop carry and upcast to float32 at every
+#: read (cavity sums, factor math, metrics), so all COMPUTE stays f32 and
+#: only the carried state is compressed. None = auto (currently False:
+#: throughput-mode opt-in), True/False = force.
+#:
+#: CAVEAT: bf16 resolution (~0.4% relative) floors the achievable
+#: fixed-point accuracy AND the relative-r convergence delta — solves
+#: gated on tol <= 1e-4 will typically run to max_iter. Intended for the
+#: fixed-sweep-count throughput path; accuracy impact is measured in
+#: bench.py / docs/performance.md.
+STATE_BF16 = None
+
+
+def state_bf16():
+    "Resolve the STATE_BF16 gate at trace time."
+    if STATE_BF16 is not None:
+        return bool(STATE_BF16)
+    return False
+
+
+#: Pin model-constant factor messages (Gaussian likelihood/prior fast
+#: paths): pinned slots are recomputed from model leaves at the top of
+#: every sweep (loop-invariant, so XLA hoists their consumer GEMMs — e.g.
+#: U^T (y/var), 9.1% of the flagship sweep's FLOPs, verified in the
+#: compiled cost analysis) and are never damped (d*c + (1-d)*c = c at the
+#: fixed point; transient differs, fixed points identical — tested).
+#: DEFAULT OFF: despite the FLOP reduction, the measured flagship
+#: throughput on the v5e remote runtime REGRESSES (206k -> 91k iter/s f32
+#: state, 234k -> 94k bf16) — the hoisted loop-invariant (batch x M)
+#: buffer appears to force a far worse while-loop schedule. A measured
+#: negative; flip on only after re-profiling on a direct-attached TPU.
+PIN_CONSTANT_MESSAGES = None
+
+
+def pin_constant_messages():
+    "Resolve the PIN_CONSTANT_MESSAGES gate (None = auto: False)."
+    if PIN_CONSTANT_MESSAGES is not None:
+        return bool(PIN_CONSTANT_MESSAGES)
+    return False
+
+
+#: FFT implementation for the conv/gradient/DFT channels: None = auto
+#: (probe whether the backend executes XLA's FFT custom call; some TPU
+#: runtimes return UNIMPLEMENTED), "xla" = force jnp.fft, "matmul" = force
+#: the dense-DFT matmul path (MXU-friendly O(n^2) per axis, exact parity
+#: with jnp.fft to dtype accuracy — see ops/dft.py).
+FFT_MODE = None
+
+
 def use_pallas(x):
     """Decide (at trace time) whether to use the fused Pallas path for
     array ``x``."""

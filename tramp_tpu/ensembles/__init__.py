@@ -34,11 +34,14 @@ class ComplexGaussianEnsemble(Ensemble):
         self.N = N
 
     def generate(self, key=None):
+        # complex assembled HOST-SIDE (numpy): complex device arrays are
+        # unsupported on some TPU runtimes (ops/dft.py); the matrix is a
+        # construction-time constant consumed by the packed-real channels
         key = jax.random.PRNGKey(0) if key is None else key
         k1, k2 = jax.random.split(key)
-        s = 1.0 / jnp.sqrt(self.N)
-        return (s * jax.random.normal(k1, (self.M, self.N))
-                + 1j * s * jax.random.normal(k2, (self.M, self.N)))
+        s = 1.0 / np.sqrt(self.N)
+        return (s * np.asarray(jax.random.normal(k1, (self.M, self.N)))
+                + 1j * s * np.asarray(jax.random.normal(k2, (self.M, self.N))))
 
 
 class RotationEnsemble(Ensemble):
@@ -65,13 +68,14 @@ class UnitaryEnsemble(Ensemble):
         self.N = N
 
     def generate(self, key=None):
+        # host-side numpy complex QR (see ComplexGaussianEnsemble.generate)
         key = jax.random.PRNGKey(0) if key is None else key
         k1, k2 = jax.random.split(key)
-        A = (jax.random.normal(k1, (self.N, self.N))
-             + 1j * jax.random.normal(k2, (self.N, self.N)))
-        Q, R = jnp.linalg.qr(A)
-        d = jnp.diag(R)
-        return Q * (d / jnp.abs(d))
+        A = (np.asarray(jax.random.normal(k1, (self.N, self.N)))
+             + 1j * np.asarray(jax.random.normal(k2, (self.N, self.N))))
+        Q, R = np.linalg.qr(A)
+        d = np.diag(R)
+        return Q * (d / np.abs(d))
 
 
 class BinaryEnsemble(Ensemble):
@@ -144,9 +148,10 @@ class ComplexUnitaryEnsemble(Ensemble):
         self.scale = scale
 
     def generate(self, key=None):
+        # host-side numpy complex phases (see ComplexGaussianEnsemble)
         key = jax.random.PRNGKey(0) if key is None else key
-        phi = jax.random.uniform(key, (self.M, self.N))
-        return jnp.exp(2j * jnp.pi * phi)
+        phi = np.asarray(jax.random.uniform(key, (self.M, self.N)))
+        return np.exp(2j * np.pi * phi)
 
 
 ENSEMBLE_CLASSES = {

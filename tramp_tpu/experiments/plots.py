@@ -112,10 +112,12 @@ def plot_compare(x_true, x_pred, ax=None, labels=("true", "pred")):
 
 def plot_compare_complex(x_true, x_pred, ax=None):
     import matplotlib.pyplot as plt
-    from ..utils.misc import array2complex
     ax = ax or plt.gca()
-    zt = np.asarray(array2complex(x_true))
-    zp = np.asarray(array2complex(x_pred))
+    # unpack host-side in numpy (complex device arrays are unsupported on
+    # some TPU runtimes, ops/dft.py)
+    xt, xp = np.asarray(x_true), np.asarray(x_pred)
+    zt = xt[0] + 1j * xt[1]
+    zp = xp[0] + 1j * xp[1]
     ax.scatter(zt.real, zt.imag, marker="o", label="true", alpha=0.6)
     ax.scatter(zp.real, zp.imag, marker="x", label="pred", alpha=0.6)
     ax.legend()

@@ -60,6 +60,15 @@ class GaussianLikelihood(Likelihood):
         "Fast path: constant message. Reference l:68-71."
         return self.a * jnp.ones_like(az), self.b
 
+    def constant_backward_message(self):
+        """The backward message is a model constant (a=1/var, b=y/var):
+        engines pin the slot and recompute it from the model inside the
+        fused loop, letting XLA hoist consumer GEMMs (message_passing.py
+        pinned-slot machinery)."""
+        if self.y is None:
+            return None
+        return {"a": jnp.asarray(self.a), "b": self.b}
+
     def compute_backward_state_evolution(self, az, tau_z):
         return self.a * jnp.ones_like(az)
 

@@ -1,10 +1,11 @@
 """Modulus likelihood y = |z| for complex z (phase retrieval).
-Complex arrays are packed as real arrays Z with Z[0]=Re, Z[1]=Im.
-Reference tramp/likelihoods/modulus_likelihood.py."""
+Complex arrays are packed as real arrays Z with Z[0]=Re, Z[1]=Im; ALL
+arithmetic is on the real planes (no complex dtype anywhere — required on
+TPU runtimes without complex support, see ops/dft.py, and exactly
+equivalent elsewhere). Reference tramp/likelihoods/modulus_likelihood.py."""
 import jax.numpy as jnp
 
 from .base_likelihood import Likelihood
-from ..utils.misc import complex2array, array2complex
 from ..utils.integration import gaussian_measure, gaussian_measure_2d
 
 
@@ -24,9 +25,18 @@ def ive_ratio(r):
     return i1e(r) / i0e(r)
 
 
-def normalize(bz):
-    "bz / |bz| for complex bz, 0 where bz == 0. Reference l:23-29."
-    b = jnp.abs(bz)
+def pair_abs(bz):
+    """|bz| for packed bz (leading re/im axis). Gradient-safe at bz = 0:
+    sqrt'(0) = inf would leak NaN into autodiff (log partitions are smooth
+    even functions of |bz|, so the true gradient there is 0)."""
+    sq = bz[0] ** 2 + bz[1] ** 2
+    safe = jnp.where(sq == 0, 1.0, sq)
+    return jnp.where(sq == 0, 0.0, jnp.sqrt(safe))
+
+
+def pair_normalize(bz):
+    "bz / |bz| for packed bz, 0 where bz == 0. Reference l:23-29."
+    b = pair_abs(bz)
     return jnp.where(b == 0, 0.0, bz / jnp.where(b == 0, 1.0, b))
 
 
@@ -41,41 +51,39 @@ class ModulusLikelihood(Likelihood):
         self.y = None if y is None else jnp.asarray(y)
 
     def sample(self, key, Z):
-        return jnp.abs(array2complex(Z))
+        return pair_abs(Z)
 
     def math(self):
         return r"$|\cdot|$"
 
     def scalar_backward_mean(self, az, bz, y):
-        bzc = array2complex(bz)
-        b = jnp.abs(bzc)
+        "Packed (re/im) posterior mean y*I along the bz phase direction."
+        b = pair_abs(bz)
         I = ive_ratio(b * y)
-        return normalize(bzc) * y * I
+        return pair_normalize(bz) * y * I
 
     def scalar_backward_variance(self, az, bz, y):
-        bzc = array2complex(bz)
-        b = jnp.abs(bzc)
+        b = pair_abs(bz)
         I = ive_ratio(b * y)
         # 0.5 factor: averaging over the complex coordinate
         return 0.5 * y**2 * (1.0 - I**2)
 
     def scalar_log_partition(self, az, bz, y):
-        b = jnp.abs(array2complex(bz)) if bz.shape[0] == 2 else jnp.abs(bz)
+        b = pair_abs(bz) if bz.shape[0] == 2 else jnp.abs(bz)
         return (-0.5 * az * y**2
                 + jnp.log(2 * jnp.pi * y * i0e(b * y)) + b * y)
 
     def compute_backward_posterior(self, az, bz, y):
-        bzc = array2complex(bz)
-        b = jnp.abs(bzc)
+        b = pair_abs(bz)
         I = ive_ratio(b * y)
-        rz = normalize(bzc) * y * I
+        rz = pair_normalize(bz) * y * I
         vz = 0.5 * y**2 * (1.0 - I**2)
         if self.isotropic:
             vz = jnp.mean(vz)
-        return complex2array(rz), vz
+        return rz, vz
 
     def compute_log_partition(self, az, bz, y):
-        b = jnp.abs(array2complex(bz))
+        b = pair_abs(bz)
         A = (-0.5 * az * y**2
              + jnp.log(2 * jnp.pi * y * i0e(b * y)) + b * y)
         # 0.5 factor: averaging over the complex coordinate

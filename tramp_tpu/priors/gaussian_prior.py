@@ -68,6 +68,10 @@ class GaussianPrior(Prior):
         "Fast path: the outgoing message is constant (reference l:86-89)."
         return self.a * jnp.ones_like(ax), self.b * jnp.ones_like(bx)
 
+    def constant_forward_message(self):
+        "Model-constant message (see GaussianLikelihood): a=1/var, b=mean/var."
+        return {"a": jnp.asarray(self.a), "b": jnp.asarray(self.b)}
+
     def compute_forward_state_evolution(self, ax):
         return self.a * jnp.ones_like(ax)
 

@@ -202,6 +202,58 @@ def log_Phi(x):
     return jsp.log_ndtr(x)
 
 
+@jax.custom_jvp
+def log_Phi_erfcx(x):
+    """log Phi(x) expressed through ``erfcx`` so that adjacent moment
+    kernels (G1_inf/G2_inf, which evaluate erfcx at the same standardized
+    argument) share ONE erf expansion via XLA CSE instead of paying a
+    second, independent log_ndtr expansion (round-3 transcendental-count
+    reduction for the piecewise-linear denoisers; accuracy identical to
+    log_ndtr to ~1 ulp, see test_special.py).
+
+    x <= 0: Phi(x) = 0.5 erfc(-x/sqrt2) = 0.5 erfcx(-x/sqrt2) e^{-x^2/2}
+    x >  0: Phi(x) = 1 - Phi(-x), via log1p (cancellation-free).
+
+    A custom JVP supplies the analytic derivative (log Phi)'(x) =
+    N(x)/Phi(x) = 1/(sqrt(2 pi) 0.5 erfcx(-x/sqrt2)): differentiating
+    through the branchless primal would leak NaN (zero cotangent into the
+    untaken branch times its infinite local jacobian at extreme |x|), and
+    the analytic form REUSES the primal's erfcx(-u) via CSE. Inputs are
+    clamped to +-1e15: values match log_ndtr in the representable range
+    (lower(-inf) saturates at -5e29 instead of -inf — identical under any
+    downstream exp/softmax)."""
+    u = jnp.clip(x / SQRT2, -1e15, 1e15)
+    lower = jnp.log(0.5 * erfcx(-u)) - u * u
+    upper = jnp.log1p(-0.5 * erfcx(u) * jnp.exp(-u * u))
+    return jnp.where(x <= 0, lower, upper)
+
+
+@jax.custom_jvp
+def _log_Phi_prime(x):
+    "(log Phi)'(x) = N(x)/Phi(x), erfcx-shared with the log_Phi primal."
+    u = jnp.clip(x / SQRT2, -1e15, 1e15)
+    # erfcx(-u) -> inf for x >> 0 gives the correct 0 slope
+    return 1.0 / (SQRT_2PI * 0.5 * erfcx(-u))
+
+
+@_log_Phi_prime.defjvp
+def _log_Phi_prime_jvp(primals, tangents):
+    # closed-form recursion y' = -y (x + y): keeps EVERY derivative order
+    # finite (differentiating 1/erfcx(-u) directly hits inf/inf = NaN
+    # where erfcx overflows, x > ~37.6 in f64). x clamped like the primal
+    # so x = +-inf gives 0 * inf = NaN -> 0 * clamp = 0.
+    (x,), (dx,) = primals, tangents
+    y = _log_Phi_prime(x)
+    xc = jnp.clip(x, -SQRT2 * 1e15, SQRT2 * 1e15)
+    return y, (-y * (xc + y)) * dx
+
+
+@log_Phi_erfcx.defjvp
+def _log_Phi_erfcx_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return log_Phi_erfcx(x), _log_Phi_prime(x) * dx
+
+
 def log_norm_cdf_prime(x):
     "(log Phi)'(x) = N(x)/Phi(x). Reference tramp/utils/misc.py:65-70."
     return 1.0 / (SQRT_2PI * 0.5 * erfcx(-x / SQRT2))

@@ -13,7 +13,8 @@ dispatched at trace time exactly like the reference's if/elif on the bounds
 """
 import jax.numpy as jnp
 
-from .special import erf, erfcx, log_Phi, norm_cdf, SQRT2, SQRT_PI
+from .special import (
+    erf, erfcx, log_Phi, log_Phi_erfcx, norm_cdf, SQRT2, SQRT_PI)
 
 _CLOSE_THRESH = 1e-7
 
@@ -164,8 +165,10 @@ def G2(x, y):
 
 
 def G0_inf(x, sign):
-    "G0(x, sign*inf) = log Phi(-sign*x). Reference truncated_normal.py:222-225."
-    return log_Phi(-sign * x)
+    """G0(x, sign*inf) = log Phi(-sign*x). Reference truncated_normal.py:222-225.
+    Routed through erfcx (not log_ndtr) so the half-infinite moment trio
+    G0/G1/G2_inf shares a single erf expansion per element via CSE."""
+    return log_Phi_erfcx(-sign * x)
 
 
 def G1_inf(x, sign):
