@@ -118,6 +118,10 @@ ACCURACY_BOUNDS = {
     # within (3 sd-of-mean + 10%) of the Bayes-optimal SE prediction
     # (dev is normalized by that band; < 1 means inside it)
     "ensemble_sweep.ep_tracks_se_max_dev": 1.0,
+    # spectral VAMP fast path: same fixed point as the generic engine
+    # (f32-band agreement on the flagship instance)
+    "vamp_glm.v_rel_err_vs_ep_f32": 2e-2,
+    "vamp_glm.mse_rel_err_vs_ep_f32": 2e-2,
 }
 
 
@@ -219,6 +223,61 @@ def bench_iterations(student, teacher, batch, n_loop):
     jax.block_until_ready(state)
     elapsed = (time.perf_counter() - t0) / reps
     return batch * n_loop / elapsed
+
+
+def bench_vamp_iterations(student, teacher, batch, n_loop):
+    """Spectral-VAMP fast-path throughput on the flagship GLM (same
+    chained-timing protocol as bench_iterations): per iteration only the
+    two V-basis GEMMs remain (2 Nz^2 MACs vs the generic engine's
+    2 Nz^2 + 3 Nx^2), the Gaussian-likelihood LMMSE step being fully
+    spectral — see tramp_tpu/parallel/vamp_glm.py."""
+    import jax
+    import jax.numpy as jnp
+    from tramp_tpu.parallel.vamp_glm import SpectralVAMPSolver
+
+    solver = SpectralVAMPSolver(student)
+
+    def loop(model, carry):
+        def body(i, c):
+            c2, _ = solver._step(model, c)
+            return c2
+        return jax.lax.fori_loop(0, n_loop, body, carry)
+
+    dtype = student.factors[-1].y.dtype
+    keys = jax.random.split(jax.random.PRNGKey(3), batch)
+    ys = jax.jit(jax.vmap(
+        lambda k: jnp.asarray(teacher.sample(k)["y"], dtype)))(keys)
+    model_in, in_axes_model = _batched_model(student, ys)
+    carry0 = solver._init(student)
+    carry0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + jnp.shape(x)),
+        carry0)
+    fn = jax.jit(jax.vmap(loop, in_axes=(in_axes_model, 0)))
+    out = fn(model_in, carry0)
+    jax.block_until_ready(out)
+    reps = 3
+    state = out
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = fn(model_in, state)
+    jax.block_until_ready(state)
+    elapsed = (time.perf_counter() - t0) / reps
+    return batch * n_loop / elapsed
+
+
+def solve_flagship_vamp(dtype):
+    "Flagship instance via the spectral VAMP fast path (same data)."
+    import numpy as np
+    from tramp_tpu.parallel import SpectralVAMPSolver
+
+    student, _, sample = build(N, ALPHA, dtype)
+    solver = SpectralVAMPSolver(student, max_iter=500, tol=1e-8)
+    post, n_iter, conv = solver.solve_info(student)
+    r = np.asarray(post["x"]["r"], dtype=np.float64)
+    x0 = np.asarray(sample["x"], dtype=np.float64)
+    return dict(mse=float(np.mean((r - x0) ** 2)),
+                v=float(post["x"]["v"]), n_iter=int(n_iter),
+                conv=bool(conv))
 
 
 def se_prediction():
@@ -878,6 +937,12 @@ def main():
                     abs(g32["mse"] - g64["mse"]) / abs(g64["mse"]))
             gallery[name] = entry
 
+        # spectral VAMP fast path (same flagship data): same fixed point,
+        # 2 Nz^2 MACs/iteration (parallel/vamp_glm.py)
+        vamp_its = bench_vamp_iterations(student, teacher, BATCH_TPU,
+                                         N_LOOP)
+        vamp32 = solve_flagship_vamp("float32")
+
         se_grid = bench_se_grid()
 
         sweep = bench_ensemble_sweep()
@@ -910,9 +975,20 @@ def main():
             f32_bf16state["v"] - f32["v"]) / abs(f32["v"]),
     }
 
+    vamp_glm = {
+        "metric": "vamp_glm_iterations_per_s_N1e4",
+        "value": round(vamp_its, 2),
+        "unit": "iter/s",
+        "speedup_vs_engine": round(vamp_its / tpu_its, 3),
+        **{f"{k}_tpu_f32": v for k, v in vamp32.items()},
+        "v_rel_err_vs_ep_f32": abs(vamp32["v"] - f32["v"]) / abs(f32["v"]),
+        "mse_rel_err_vs_ep_f32": abs(vamp32["mse"] - f32["mse"]) / abs(
+            f32["mse"]),
+    }
+
     violations = check_accuracy_bounds(
         {"flagship": accuracy, "se_grid": se_grid,
-         "ensemble_sweep": sweep, **gallery})
+         "ensemble_sweep": sweep, "vamp_glm": vamp_glm, **gallery})
 
     print(json.dumps({
         "metric": "ep_iterations_per_s_N1e4",
@@ -933,6 +1009,7 @@ def main():
         "accuracy_gallery": gallery,
         "se_grid": se_grid,
         "ensemble_sweep": sweep,
+        "vamp_glm": vamp_glm,
         "nonlinear": nonlinear,
         "accuracy_violations": violations,
     }))

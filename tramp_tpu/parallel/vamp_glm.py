@@ -1,0 +1,154 @@
+"""Spectral VAMP fast path for GLM chains: prior @ LinearChannel @
+GaussianLikelihood.
+
+The generic tree engine costs 2 Nz^2 + 3 Nx^2 MACs per EP sweep on this
+chain (docs/performance.md roofline). VAMP (Rangan, Schniter, Fletcher,
+"Vector Approximate Message Passing", 2019 — the same moment-matching
+fixed point as EP on this factor chain) keeps the Gaussian-likelihood
+LMMSE step ENTIRELY in the SVD basis: per iteration only two dense GEMMs
+remain (V^T r2 into the spectral basis and V d back out), i.e. 2 Nz^2
+MACs — 2.75x fewer than the generic sweep at alpha = 1/2. The reference
+has no GLM fast path (its embedded VAMP solver serves only the low-rank
+factorization channels, tramp/channels/low_rank/AMP_matrix_factorization.py).
+
+Iteration (standard VAMP form; gamma = cavity precisions):
+  x1, v1 = prior_denoise(r1, gamma1)          # separable prior posterior
+  alpha1 = gamma1 <v1>;  r2 = (x1 - alpha1 r1)/(1 - alpha1)
+  gamma2 = gamma1 (1 - alpha1)/alpha1
+  d  = (gamma2 V^T r2 + S U^T y / Delta) / (S^2/Delta + gamma2)   # LMMSE
+  x2 = V d;  alpha2 = gamma2 <(S^2/Delta + gamma2)^{-1}>
+  r1 = (x2 - alpha2 r2)/(1 - alpha2);  gamma1 = gamma2 (1 - alpha2)/alpha2
+
+Fixed points match the generic EP engine to solver tolerance (tested,
+tests/test_vamp_glm.py); convergence is measured on the mean posterior
+variance <v1> like the reference's EarlyStopping.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..likelihoods import GaussianLikelihood
+from ..channels import LinearChannel
+
+
+def _find_glm_parts(model):
+    "Extract the exact (prior, LinearChannel, GaussianLikelihood) chain."
+    factors = list(model.factors)
+    ok = (len(factors) == 3
+          and factors[0].n_prev == 0
+          and isinstance(factors[1], LinearChannel)
+          and isinstance(factors[2], GaussianLikelihood)
+          and factors[2].y is not None)
+    if not ok:
+        raise ValueError(
+            "SpectralVAMPSolver needs exactly a prior @ LinearChannel @ "
+            f"GaussianLikelihood chain, got {factors}")
+    return factors[0], factors[1], factors[2]
+
+
+class SpectralVAMPSolver:
+    """VAMP on a GLM chain, diagonalized in the SVD basis.
+
+    Parameters mirror EPSolver: `model` fixes the static structure; solve
+    calls accept any same-structure pytree. `damping` damps the r1/gamma1
+    update (rarely needed for i.i.d. ensembles)."""
+
+    def __init__(self, model, damping=None, tol=1e-6, max_iter=200):
+        _find_glm_parts(model)  # validate structure
+        self.tol = tol
+        self.max_iter = max_iter
+        self.damping = 0.0 if damping is None else float(damping)
+        damp = self.damping
+
+        def spectral(model):
+            "Loop-invariant spectral quantities."
+            prior, lin, lik = _find_glm_parts(model)
+            Delta = lik.var
+            # S U^T y / Delta in the V-basis (length Nz, padded)
+            k = lin.s.shape[0]
+            uy = lin._mm(lin.U, lik.y, transpose=True)[:k]
+            p = jnp.zeros(lin.Nz, uy.dtype).at[:k].set(lin.s * uy) / Delta
+            s2d = lin.spectrum / Delta
+            return prior, lin, p, s2d
+
+        def step(model, carry):
+            prior, lin, p, s2d = spectral(model)
+            r1, gamma1 = carry
+            x1, v1 = prior.compute_forward_posterior(gamma1, gamma1 * r1)
+            v1 = jnp.mean(v1)
+            alpha1 = jnp.clip(gamma1 * v1, 1e-11, 1.0 - 1e-11)
+            r2 = (x1 - alpha1 * r1) / (1.0 - alpha1)
+            gamma2 = jnp.clip(gamma1 * (1.0 - alpha1) / alpha1,
+                              config.AMIN, config.AMAX)
+            t = lin._mm(lin.V, r2, transpose=True)
+            den = s2d + gamma2
+            d = (gamma2 * t + p) / den
+            x2 = lin._mm(lin.V, d)
+            alpha2 = jnp.clip(gamma2 * jnp.mean(1.0 / den),
+                              1e-11, 1.0 - 1e-11)
+            r1_new = (x2 - alpha2 * r2) / (1.0 - alpha2)
+            gamma1_new = jnp.clip(gamma2 * (1.0 - alpha2) / alpha2,
+                                  config.AMIN, config.AMAX)
+            if damp:
+                r1_new = damp * r1 + (1.0 - damp) * r1_new
+                gamma1_new = damp * gamma1 + (1.0 - damp) * gamma1_new
+            return (r1_new, gamma1_new), (x1, v1)
+
+        def init(model):
+            prior, lin, p, s2d = spectral(model)
+            r1 = jnp.zeros(lin.Nz, p.dtype)
+            # uninformative start: prior-only cavity (reference a=0 init
+            # clipped to AMIN)
+            gamma1 = jnp.asarray(config.AMIN, p.dtype)
+            return (r1, gamma1)
+
+        def run(model, max_iter, tol):
+            def cond(state):
+                carry, old_v, i, done, conv = state
+                return (~done) & (i < max_iter)
+
+            def body(state):
+                carry, old_v, i, done, conv = state
+                new_carry, (x1, v1) = step(model, carry)
+                ok = (jnp.all(jnp.isfinite(new_carry[0]))
+                      & jnp.isfinite(new_carry[1]))
+                new_carry = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_carry, carry)
+                delta = jnp.abs(v1 - old_v)
+                converged = (i > 0) & (delta < tol)
+                conv = conv | (~done & converged)
+                done = done | converged | (~ok)
+                return (new_carry, v1, i + 1, done, conv)
+
+            carry0 = init(model)
+            carry, v, i, done, conv = jax.lax.while_loop(
+                cond, body, (carry0, jnp.asarray(jnp.inf, carry0[0].dtype),
+                             jnp.asarray(0), jnp.asarray(False),
+                             jnp.asarray(False)))
+            # final posterior from the converged cavity
+            prior, lin, p, s2d = spectral(model)
+            r1, gamma1 = carry
+            x1, v1 = prior.compute_forward_posterior(gamma1, gamma1 * r1)
+            return {"x": {"r": x1, "v": jnp.mean(v1)}}, i, conv
+
+        self._step = step
+        self._init = init
+        self._run = run
+        self._jit_single = jax.jit(run)
+        self._jit_batch = jax.jit(jax.vmap(run, in_axes=(0, None, None)))
+
+    def solve(self, model):
+        post, n_iter, conv = self._jit_single(
+            model, jnp.asarray(self.max_iter), jnp.asarray(self.tol))
+        return post, n_iter
+
+    def solve_info(self, model):
+        return self._jit_single(
+            model, jnp.asarray(self.max_iter), jnp.asarray(self.tol))
+
+    def solve_batch(self, stacked_model):
+        post, n_iter, conv = self._jit_batch(
+            stacked_model, jnp.asarray(self.max_iter),
+            jnp.asarray(self.tol))
+        return post, n_iter
