@@ -600,8 +600,9 @@ def bench_ensemble_sweep():
 
     with contextlib.ExitStack() as ctx:
         ctx.enter_context(jax.default_matmul_precision("highest"))
+        prev = tt_config.MATVEC_BF16
         tt_config.MATVEC_BF16 = False
-        ctx.callback(setattr, tt_config, "MATVEC_BF16", None)
+        ctx.callback(setattr, tt_config, "MATVEC_BF16", prev)
         return _ensemble_sweep_impl()
 
 

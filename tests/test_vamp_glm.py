@@ -50,6 +50,32 @@ def test_vamp_matches_ep_fixed_point(prior):
         atol=1e-9)
 
 
+def test_vamp_uses_model_variable_ids_and_returns_z():
+    "Posterior keys follow the model's ids; z-side posterior matches EP."
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.channels import LinearChannel, GaussianChannel
+
+    N = 200
+    W = jax.random.normal(jax.random.PRNGKey(2), (120, N)) / jnp.sqrt(N)
+    teacher = (GaussBernoulliPrior(size=N, rho=0.3) @ tt.V(id="w") @
+               LinearChannel(W) @ tt.V(id="zz") @
+               GaussianChannel(var=1e-2) @ tt.O(id="y")).to_model()
+    sample = teacher.sample(jax.random.PRNGKey(3))
+    student = teacher.to_observed({"y": sample["y"]})
+    post_v, _, conv = SpectralVAMPSolver(
+        student, max_iter=500, tol=1e-12).solve_info(student)
+    assert set(post_v) == {"w", "zz"}
+    ep = EPSolver(student, damping=0.1, max_iter=500, tol=1e-10)
+    post_ep, _ = ep.solve(student)
+    for vid in ("w", "zz"):
+        np.testing.assert_allclose(
+            np.asarray(post_v[vid]["r"]), np.asarray(post_ep[vid]["r"]),
+            rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            float(np.mean(np.asarray(post_v[vid]["v"]))),
+            float(np.mean(np.asarray(post_ep[vid]["v"]))), rtol=1e-5)
+
+
 def test_vamp_batched_matches_single():
     models, samples = zip(*[_build(seed=s) for s in range(4)])
     vamp = SpectralVAMPSolver(models[0], max_iter=500, tol=1e-10)

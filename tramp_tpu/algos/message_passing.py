@@ -305,7 +305,7 @@ class MessagePassing:
         Reference message_passing.py:151-185 (compute_adaptive_damping)."""
         e, _ = divmod(s, 2)
         target_i = self._msg_target(s)
-        old_msg = state[s]
+        old_msg = self._load_msg(state[s])
 
         def A_of(msg):
             st = list(state)
@@ -360,6 +360,11 @@ class MessagePassing:
         def write(updates):
             for s, msg in updates.items():
                 if s in self.pinned:
+                    if update_dA:
+                        # a pinned slot never changes within a sweep, so
+                        # its local Bethe change is identically 0; keep
+                        # the dA dict complete for downstream consumers
+                        dA[s] = jnp.asarray(0.0)
                     continue  # pinned: already set, never damped
                 if adaptive:
                     msg = self._adaptive_update(state, s, msg, is_first)

@@ -27,7 +27,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-res = {"complex": False, "fft": False}
+# the parent checks this matches ITS backend: if the child silently fell
+# back to CPU (e.g. single-client TPU lock), its probe says nothing about
+# the parent's runtime
+res = {"backend": jax.default_backend(), "complex": False, "fft": False}
 try:
     out = np.asarray(jnp.ones(2, jnp.complex64) * (1 + 1j))
     res["complex"] = bool(np.isfinite(out.real).all())
@@ -75,21 +78,31 @@ def _probe_backend():
     except Exception:
         pass
     res = {"complex": False, "fft": False}  # conservative: packed works
+    probed = False
     try:
         out = subprocess.run(
             [sys.executable, "-c", _PROBE_CODE], capture_output=True,
             text=True, timeout=300)
         for line in out.stdout.splitlines():
             if line.startswith("PROBE_RESULT "):
-                res = json.loads(line[len("PROBE_RESULT "):])
+                got = json.loads(line[len("PROBE_RESULT "):])
+                # a child that silently fell back to another backend
+                # (single-client TPU lock, missing tunnel creds) proves
+                # nothing about THIS runtime — treat as probe failure
+                if got.pop("backend", None) == backend:
+                    res = got
+                    probed = True
     except Exception:
         pass
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        with open(cache_file, "w") as f:
-            json.dump(res, f)
-    except Exception:
-        pass
+    if probed:
+        # only persist ACTUAL probe results; a transient subprocess
+        # failure must not permanently pin the conservative fallback
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(cache_file, "w") as f:
+                json.dump(res, f)
+        except Exception:
+            pass
     _PROBE[backend] = res
     return res
 
@@ -252,9 +265,24 @@ def _dft_pair(re, im, axes, inverse):
 
 
 def fftn_real(x, axes=None, norm=None):
-    "DFT of a REAL array -> pair (2,)+shape. Packed-real path."
+    """DFT of a REAL array -> pair (2,)+shape. Packed-real path. The
+    first transformed axis uses the closed real-input form re' = x C,
+    im' = -x S (two matmuls instead of the generic pair's four on a
+    zero imaginary plane — the input-side mirror of
+    ifftn_pair_real's real-output shortcut)."""
     x = jnp.asarray(x)
-    re, im = _dft_pair(x, jnp.zeros_like(x), axes, inverse=False)
+    ndim = x.ndim
+    ax_t = (tuple(range(ndim)) if axes is None
+            else tuple(a % ndim for a in axes))
+    ax0 = ax_t[0]
+    C, S = _cos_sin(x.shape[ax0], str(x.dtype))
+
+    def t(v, M, ax=ax0):
+        return jnp.moveaxis(jnp.tensordot(v, M, axes=((ax,), (1,))),
+                            -1, ax)
+    re, im = t(x, C), -t(x, S)
+    if len(ax_t) > 1:
+        re, im = _dft_pair(re, im, ax_t[1:], inverse=False)
     p = jnp.stack([re, im], axis=0)
     return _apply_norm_pair(p, p[0], axes, norm)
 

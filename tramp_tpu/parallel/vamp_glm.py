@@ -47,6 +47,12 @@ def _find_glm_parts(model):
     return factors[0], factors[1], factors[2]
 
 
+def _variable_ids(model):
+    "(signal id, observation-side id) of the prior->W->likelihood chain."
+    x_id, z_id = model.variable_ids
+    return x_id, z_id
+
+
 class SpectralVAMPSolver:
     """VAMP on a GLM chain, diagonalized in the SVD basis.
 
@@ -56,6 +62,7 @@ class SpectralVAMPSolver:
 
     def __init__(self, model, damping=None, tol=1e-6, max_iter=200):
         _find_glm_parts(model)  # validate structure
+        x_id, z_id = _variable_ids(model)
         self.tol = tol
         self.max_iter = max_iter
         self.damping = 0.0 if damping is None else float(damping)
@@ -126,11 +133,28 @@ class SpectralVAMPSolver:
                 cond, body, (carry0, jnp.asarray(jnp.inf, carry0[0].dtype),
                              jnp.asarray(0), jnp.asarray(False),
                              jnp.asarray(False)))
-            # final posterior from the converged cavity
+            # final posteriors from the converged cavity (keys = the
+            # model's actual variable ids, matching the EPSolver contract)
             prior, lin, p, s2d = spectral(model)
             r1, gamma1 = carry
             x1, v1 = prior.compute_forward_posterior(gamma1, gamma1 * r1)
-            return {"x": {"r": x1, "v": jnp.mean(v1)}}, i, conv
+            v1 = jnp.mean(v1)
+            # z = W x posterior: one readout LMMSE pass (not per-iteration)
+            alpha1 = jnp.clip(gamma1 * v1, 1e-11, 1.0 - 1e-11)
+            r2 = (x1 - alpha1 * r1) / (1.0 - alpha1)
+            gamma2 = jnp.clip(gamma1 * (1.0 - alpha1) / alpha1,
+                              config.AMIN, config.AMAX)
+            t = lin._mm(lin.V, r2, transpose=True)
+            den = s2d + gamma2
+            d = (gamma2 * t + p) / den
+            k = lin.s.shape[0]
+            sd = lin.s * d[:k]
+            if lin.Nx > k:
+                sd = jnp.pad(sd, (0, lin.Nx - k))
+            z_hat = lin._mm(lin.U, sd)
+            v_z = jnp.sum(lin.spectrum / den) / lin.Nx
+            return ({x_id: {"r": x1, "v": v1},
+                     z_id: {"r": z_hat, "v": v_z}}, i, conv)
 
         self._step = step
         self._init = init
