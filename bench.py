@@ -5,8 +5,11 @@ on-device accuracy and a nonlinear (piecewise-linear / Pallas) workload.
 
 Prints ONE JSON line:
   {"metric": "ep_iterations_per_s_N1e4", "value": ..., "unit": "iter/s",
-   "vs_baseline": ..., "cpu_single_core_iter_per_s": ...,
-   "accuracy": {...}, "nonlinear": {...}, "matmul_precision": "..."}
+   "vs_baseline": ..., "accuracy": {...}, "accuracy_gallery": {...},
+   "se_grid": {...}, "ensemble_sweep": {...}, "vamp_glm": {...},
+   "nonlinear": {...}, "accuracy_violations": [...]}
+(value = generic-engine throughput with bf16 message state; every
+accuracy block has asserted bounds — rc=1 on any violation)
 
 - value: EP message-passing iterations/s at N=10^4, aggregated over a batch
   of instances sharing the sensing matrix but each with its OWN observation
@@ -56,8 +59,10 @@ RHO = 0.25
 NOISE = 1e-2
 N_LOOP = 20
 BATCH_TPU = 768  # best measured on v5e with chained (dispatch-latency-free)
-                 # timing: 768 -> 199.9k, 896 -> 195.8k iter/s; 1024 falls
-                 # off a cliff (~126k) — see docs/performance.md
+                 # timing (bf16 state): 768 -> 232-234k, 896 -> 215k;
+                 # 1024 falls off a cliff (~147k) in the engine's GEMM
+                 # pattern (root-cause evidence in docs/performance.md;
+                 # the VAMP fast path has no such cliff)
 
 #: matmul precision for the SVD-basis matvecs. Measured on v5e (flagship
 #: fixed point, see docs/implementation.md): "default" (bf16 MXU passes)
