@@ -102,3 +102,24 @@ def test_vamp_rejects_non_glm():
     student = teacher.to_observed({"y": sample["y"]})
     with pytest.raises(ValueError, match="SpectralVAMPSolver"):
         SpectralVAMPSolver(student)
+
+
+def test_vamp_sharded_matches_unsharded():
+    "GSPMD (data x model) mesh solve bit-matches the unsharded batch."
+    from tramp_tpu.parallel import make_mesh, shard_batched_model
+
+    assert len(jax.devices()) == 8
+    models, _ = zip(*[_build(N=256, seed=s) for s in range(4)])
+    solver = SpectralVAMPSolver(models[0], max_iter=300, tol=1e-10)
+    stacked = stack_pytrees(list(models))
+    post_ref, n_ref = solver.solve_batch(stacked)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sharded = shard_batched_model(stacked, mesh)
+    with mesh:
+        post_s, n_s = solver.solve_batch(sharded)
+        jax.block_until_ready(post_s)
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_ref))
+    for vid in post_ref:
+        np.testing.assert_allclose(
+            np.asarray(post_s[vid]["r"]), np.asarray(post_ref[vid]["r"]),
+            rtol=1e-10, atol=1e-13)
