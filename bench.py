@@ -105,6 +105,10 @@ ACCURACY_BOUNDS = {
     "perceptron.mse_rel_err_f32_vs_f64": 5e-2,
     "sparse_gradient.v_rel_err_f32_vs_f64": 5e-2,
     "sparse_gradient.mse_rel_err_f32_vs_f64": 5e-2,
+    # relu-net (the nonlinear throughput workload's accuracy twin;
+    # measured 4e-7 on CPU f32)
+    "relu_net.v_rel_err_f32_vs_f64": 5e-2,
+    "relu_net.mse_rel_err_f32_vs_f64": 5e-2,
     # phase retrieval at alpha=2 is deep recovery: v sits at the AMIN
     # floor (~1e-11, not meaningfully comparable in relative terms);
     # assert recovery (v tiny) + phase-symmetric mse parity (measured 4e-4)
@@ -502,6 +506,8 @@ GALLERY_SOLVERS = {
     "phase_retrieval": solve_phase_retrieval,
     "sparse_gradient": solve_sparse_gradient,
     "vae_inpainting": solve_vae_inpainting,
+    # relu_net is registered after its definition below (build_nonlinear
+    # and solve_relu_net live with the nonlinear bench)
 }
 
 #: f64 init seeds spanning the intrinsic variability band of config 4
@@ -746,25 +752,48 @@ def check_accuracy_bounds(results):
 
 
 def build_nonlinear(dtype):
-    "Two-layer relu network: x -> W -> relu -> + noise -> y."
-    import jax
+    """Two-layer relu network: x -> W -> relu -> + noise -> y. All data
+    generated host-side in numpy f64 (cast per run), so f32/f64 runs see
+    IDENTICAL instances (jax PRNG draws are dtype-dependent)."""
+    import numpy as np
     import jax.numpy as jnp
     import tramp_tpu as tt
     from tramp_tpu.priors import GaussBernoulliPrior
     from tramp_tpu.channels import LinearChannel, GaussianChannel, ReluChannel
 
     M = int(NL_ALPHA * NL_N)
-    key = jax.random.PRNGKey(11)
-    W = (jax.random.normal(key, (M, NL_N)) / jnp.sqrt(NL_N)).astype(dtype)
+    rng = np.random.RandomState(11)
+    W = rng.randn(M, NL_N) / np.sqrt(NL_N)
+    x0 = (rng.rand(NL_N) < RHO) * rng.randn(NL_N)
+    y = np.maximum(W @ x0, 0.0) + np.sqrt(NOISE) * rng.randn(M)
     teacher = (
         GaussBernoulliPrior(size=NL_N, rho=RHO) @ tt.V(id="x") @
-        LinearChannel(W, name="W") @ tt.V(id="z") @
+        LinearChannel(jnp.asarray(W, dtype), name="W") @ tt.V(id="z") @
         ReluChannel() @ tt.V(id="a") @
         GaussianChannel(var=NOISE) @ tt.O(id="y")
     ).to_model()
-    sample = teacher.sample(jax.random.PRNGKey(12))
-    student = teacher.to_observed({"y": jnp.asarray(sample["y"], dtype)})
-    return student, teacher
+    student = teacher.to_observed({"y": jnp.asarray(y, dtype)})
+    return student, teacher, x0
+
+
+def solve_relu_net(dtype):
+    """Two-layer relu network (the nonlinear workload) solved to
+    convergence — accuracy twin of the relu-net throughput bench, so every
+    benchmarked workload carries an asserted accuracy bound."""
+    import numpy as np
+    from tramp_tpu.parallel import EPSolver
+
+    student, teacher, x0 = build_nonlinear(dtype)
+    solver = EPSolver(student, damping=0.1, max_iter=500, tol=1e-6)
+    post, n_iter = solver.solve(student)
+    r = np.asarray(post["x"]["r"], np.float64)
+    x0 = np.asarray(x0, np.float64)
+    mse = float(np.mean((r - x0) ** 2))
+    v = float(np.mean(np.asarray(post["x"]["v"], np.float64)))
+    return dict(mse=mse, v=v, n_iter=int(n_iter))
+
+
+GALLERY_SOLVERS["relu_net"] = solve_relu_net
 
 
 def bench_pl_kernel_micro(n=8_000_000):
@@ -810,7 +839,7 @@ def bench_nonlinear():
     import jax
     from tramp_tpu import config
 
-    student, teacher = build_nonlinear("float32")
+    student, teacher, _ = build_nonlinear("float32")
     # production path: plain XLA (the auto gate resolves to False — the PL
     # posterior is VPU-compute-bound, docs/performance.md)
     config.USE_PALLAS = False
