@@ -150,3 +150,24 @@ def test_probe_is_config_overridable():
         config.FFT_MODE = None
     # CPU probe: both supported, no subprocess needed
     assert dft._probe_backend() == {"complex": True, "fft": True}
+
+
+def test_complex_matmul_fftn_matches_jnp(rng):
+    """The complex-dtype fftn/ifftn wrappers' matmul fallback (for
+    runtimes with complex support but no FFT custom-call) matches jnp.fft
+    at machine precision, including axes and ortho norms."""
+    x = rng.randn(6, 10) + 1j * rng.randn(6, 10)
+    for axes in (None, (1,), (0, 1)):
+        for norm in (None, "ortho"):
+            config.FFT_MODE = "matmul"
+            try:
+                got_f = np.asarray(dft.fftn(jnp.asarray(x), axes=axes,
+                                            norm=norm))
+                got_i = np.asarray(dft.ifftn(jnp.asarray(x), axes=axes,
+                                             norm=norm))
+            finally:
+                config.FFT_MODE = None
+            np.testing.assert_allclose(
+                got_f, np.fft.fftn(x, axes=axes, norm=norm), atol=1e-12)
+            np.testing.assert_allclose(
+                got_i, np.fft.ifftn(x, axes=axes, norm=norm), atol=1e-12)
