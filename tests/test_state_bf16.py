@@ -100,3 +100,32 @@ def test_pinned_constant_messages_same_fixed_point():
     finally:
         config.PIN_CONSTANT_MESSAGES = None
     np.testing.assert_allclose(r_pinned, r_default, rtol=1e-4, atol=1e-9)
+
+
+def test_pinning_covers_gaussian_prior_and_likelihood():
+    "With a Gaussian prior BOTH chain ends pin (fwd root + bwd leaf slots)."
+    from tramp_tpu.priors import GaussianPrior
+    from tramp_tpu.channels import LinearChannel, GaussianChannel
+
+    N = 64
+    W = jax.random.normal(jax.random.PRNGKey(5), (48, N)) / jnp.sqrt(N)
+    teacher = (GaussianPrior(size=N) @ tt.V(id="x") @
+               LinearChannel(W) @ tt.V(id="z") @
+               GaussianChannel(var=1e-2) @ tt.O(id="y")).to_model()
+    sample = teacher.sample(jax.random.PRNGKey(6))
+    student = teacher.to_observed({"y": sample["y"]})
+
+    def solve():
+        ep = tt.ExpectationPropagation(student)
+        ep.iterate(max_iter=200, damping=0.1)
+        return np.asarray(ep.get_variable_data("x")["r"], np.float64), ep
+
+    r_default, _ = solve()
+    config.PIN_CONSTANT_MESSAGES = True
+    try:
+        r_pinned, ep_p = solve()
+        # prior fwd slot AND likelihood bwd slot detected
+        assert len(ep_p.pinned_factor) == 2, ep_p.pinned_factor
+    finally:
+        config.PIN_CONSTANT_MESSAGES = None
+    np.testing.assert_allclose(r_pinned, r_default, rtol=1e-6, atol=1e-10)

@@ -123,3 +123,17 @@ def test_vamp_sharded_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(post_s[vid]["r"]), np.asarray(post_ref[vid]["r"]),
             rtol=1e-10, atol=1e-13)
+
+
+def test_vamp_damping_same_fixed_point():
+    student, _ = _build(seed=9)
+    undamped, _, c1 = SpectralVAMPSolver(
+        student, max_iter=500, tol=1e-12).solve_info(student)
+    damped, _, c2 = SpectralVAMPSolver(
+        student, damping=0.3, max_iter=800, tol=1e-12).solve_info(student)
+    assert bool(c1) and bool(c2)
+    # the v-based stop fires slightly before r fully settles; 1e-5 is
+    # the honest shared band at tol=1e-12 on v
+    np.testing.assert_allclose(
+        np.asarray(damped["x"]["r"]), np.asarray(undamped["x"]["r"]),
+        rtol=1e-5, atol=1e-8)

@@ -69,8 +69,13 @@ class GaussianPrior(Prior):
         return self.a * jnp.ones_like(ax), self.b * jnp.ones_like(bx)
 
     def constant_forward_message(self):
-        "Model-constant message (see GaussianLikelihood): a=1/var, b=mean/var."
-        return {"a": jnp.asarray(self.a), "b": jnp.asarray(self.b)}
+        """Model-constant message (see GaussianLikelihood): a=1/var,
+        b=mean/var broadcast to the variable shape (downstream factor
+        matvecs need an array-shaped b, like compute_forward_message's
+        b * ones_like(bx))."""
+        shape = self.size if isinstance(self.size, tuple) else (self.size,)
+        return {"a": jnp.asarray(self.a),
+                "b": jnp.broadcast_to(jnp.asarray(self.b), shape)}
 
     def compute_forward_state_evolution(self, ax):
         return self.a * jnp.ones_like(ax)
