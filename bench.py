@@ -5,9 +5,11 @@ on-device accuracy and a nonlinear (piecewise-linear / Pallas) workload.
 
 Prints ONE JSON line:
   {"metric": "ep_iterations_per_s_N1e4", "value": ..., "unit": "iter/s",
-   "vs_baseline": ..., "accuracy": {...}, "accuracy_gallery": {...},
-   "se_grid": {...}, "ensemble_sweep": {...}, "vamp_glm": {...},
-   "nonlinear": {...}, "accuracy_violations": [...]}
+   "vs_baseline": ..., "cpu_single_core_iter_per_s": ...,
+   "state_bf16": ..., "iter_s_f32_state": ..., "matmul_precision": ...,
+   "accuracy": {...}, "accuracy_gallery": {...}, "se_grid": {...},
+   "ensemble_sweep": {...}, "vamp_glm": {...}, "nonlinear": {...},
+   "accuracy_violations": [...]}
 (value = generic-engine throughput with bf16 message state; every
 accuracy block has asserted bounds — rc=1 on any violation)
 
@@ -920,6 +922,12 @@ def main():
     f64 = _run_subprocess("--cpu-f64", CACHE_F64)
     cpu_f32 = _run_subprocess("--cpu-f32", CACHE_F32)
     aux_f64 = _run_subprocess("--cpu-aux", CACHE_AUX)
+    # invalidate a stale aux cache from before a gallery-solver addition
+    # (the file is gitignored and otherwise returned verbatim forever)
+    want_keys = set(GALLERY_SOLVERS) | {"vae_inpainting_band"}
+    if not want_keys <= set(aux_f64):
+        os.remove(CACHE_AUX)
+        aux_f64 = _run_subprocess("--cpu-aux", CACHE_AUX)
 
     from tramp_tpu import config as tt_config
 
