@@ -516,6 +516,17 @@ GALLERY_SOLVERS = {
 VAE_F64_SEEDS = (3, 4, 5)
 
 
+def _gallery_fingerprint():
+    """Hash of the gallery-solver protocols: invalidates the f64 aux cache
+    whenever any solver's source (seed, damping, N, model...) changes."""
+    import hashlib
+    import inspect
+    parts = [f"seeds={VAE_F64_SEEDS}"]
+    for name in sorted(GALLERY_SOLVERS):
+        parts.append(inspect.getsource(GALLERY_SOLVERS[name]))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 def main_cpu_aux():
     "f64 CPU fixed points for gallery configs 2-4 (subprocess)."
     import jax
@@ -524,6 +535,7 @@ def main_cpu_aux():
     out["vae_inpainting_band"] = [
         solve_vae_inpainting("float64", seed=s)["mse"]
         for s in VAE_F64_SEEDS]
+    out["_fingerprint"] = _gallery_fingerprint()
     print(json.dumps(out))
 
 
@@ -922,12 +934,16 @@ def main():
     f64 = _run_subprocess("--cpu-f64", CACHE_F64)
     cpu_f32 = _run_subprocess("--cpu-f32", CACHE_F32)
     aux_f64 = _run_subprocess("--cpu-aux", CACHE_AUX)
-    # invalidate a stale aux cache from before a gallery-solver addition
-    # (the file is gitignored and otherwise returned verbatim forever)
-    want_keys = set(GALLERY_SOLVERS) | {"vae_inpainting_band"}
-    if not want_keys <= set(aux_f64):
+    # invalidate a stale aux cache whenever a gallery solver is added OR an
+    # existing solver's protocol changes (seed, damping, N, model...): the
+    # cache is gitignored and otherwise returned verbatim forever, silently
+    # comparing TPU results against stale f64 fixed points
+    fp = _gallery_fingerprint()
+    if (not (set(GALLERY_SOLVERS) | {"vae_inpainting_band"}) <= set(aux_f64)
+            or aux_f64.get("_fingerprint") != fp):
         os.remove(CACHE_AUX)
         aux_f64 = _run_subprocess("--cpu-aux", CACHE_AUX)
+        assert aux_f64.get("_fingerprint") == fp
 
     from tramp_tpu import config as tt_config
 
@@ -1033,7 +1049,7 @@ def main():
         {"flagship": accuracy, "se_grid": se_grid,
          "ensemble_sweep": sweep, "vamp_glm": vamp_glm, **gallery})
 
-    print(json.dumps({
+    full = {
         "metric": "ep_iterations_per_s_N1e4",
         "value": round(tpu_its, 2),
         "unit": "iter/s",
@@ -1055,9 +1071,30 @@ def main():
         "vamp_glm": vamp_glm,
         "nonlinear": nonlinear,
         "accuracy_violations": violations,
-    }))
+    }
+    # full record to disk (the driver tail-captures only ~2000 chars of
+    # stdout — round 3's single fat JSON line overflowed it and the
+    # machine-readable record came back "parsed": null); the FINAL stdout
+    # line is a compact headline that always fits
+    out_file = os.path.join(_DIR, "bench_out.json")
+    with open(out_file, "w") as f:
+        json.dump(full, f, indent=1)
     if violations:
         print(f"ACCURACY BOUND VIOLATIONS: {violations}", file=sys.stderr)
+    print(json.dumps({
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "iter/s",
+        "vs_baseline": full["vs_baseline"],
+        "engine_iter_s": round(tpu_its, 2),
+        "ensemble_sweep_instances_per_s": sweep["value"],
+        "ensemble_sweep_n_instances": sweep["n_instances"],
+        "se_grid_points_per_s": se_grid["value"],
+        "relu_net_iter_s": nonlinear["value"],
+        "accuracy_violations": violations,
+        "full_record": "bench_out.json",
+    }))
+    if violations:
         sys.exit(1)
 
 

@@ -353,8 +353,16 @@ class MessagePassing:
         state = list(state)
         dA = {}
         # pinned slots: overwrite from the model BEFORE the passes so every
-        # in-body read derives from loop-invariant leaves (LICM-hoistable)
+        # in-body read derives from loop-invariant leaves (LICM-hoistable).
+        # Each component is broadcast to the incoming slot's shape: factors
+        # may emit scalar constants (e.g. GaussianLikelihood's a=1/var)
+        # while the harmonized while_loop carry holds array-shaped slots —
+        # a raw overwrite would change the carry structure at trace time.
         for s, msg in self._pinned_values(model).items():
+            old = self._load_msg(state[s])
+            msg = {k: jnp.broadcast_to(jnp.asarray(v, jnp.asarray(old[k]).dtype),
+                                       jnp.shape(old[k]))
+                   for k, v in msg.items()}
             state[s] = self._store_msg(msg)
 
         def write(updates):

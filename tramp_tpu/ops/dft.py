@@ -69,12 +69,27 @@ def _probe_backend():
     import os
     import subprocess
     import sys
+    # discriminate the actual RUNTIME, not just the backend name: the same
+    # home dir may be moved between a direct-attached TPU (FFT-capable) and
+    # a remote-tunnel runtime (no complex ops at all) — a stale fft=true
+    # would dispatch jnp.fft, fail UNIMPLEMENTED, and poison the client.
+    try:
+        dev = jax.devices()[0]
+        client = getattr(dev, "client", None)
+        runtime = "|".join([
+            getattr(dev, "device_kind", "?"),
+            getattr(client, "platform_version", "?") if client else "?",
+        ])
+    except Exception:
+        runtime = "?"
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "tramp_tpu")
     cache_file = os.path.join(cache_dir, f"backend_probe_{backend}.json")
     try:
         with open(cache_file) as f:
-            _PROBE[backend] = json.load(f)
-        return _PROBE[backend]
+            cached = json.load(f)
+        if cached.pop("runtime", None) == runtime:
+            _PROBE[backend] = cached
+            return _PROBE[backend]
     except Exception:
         pass
     res = {"complex": False, "fft": False}  # conservative: packed works
@@ -100,7 +115,7 @@ def _probe_backend():
         try:
             os.makedirs(cache_dir, exist_ok=True)
             with open(cache_file, "w") as f:
-                json.dump(res, f)
+                json.dump({**res, "runtime": runtime}, f)
         except Exception:
             pass
     _PROBE[backend] = res

@@ -204,7 +204,12 @@ def solve_batch_shard_map(solver, stacked_model, mesh, data_axis="data",
     cache = getattr(solver, "_shard_map_cache", None)
     if cache is None:
         cache = solver._shard_map_cache = {}
-    key = (mesh, data_axis)
+    # the in_specs bake the model/state pytree STRUCTURES into the compiled
+    # fn: a structurally different stacked model (or initializer-derived
+    # state) must recompile, not hit the cached executable with a confusing
+    # spec/tree mismatch
+    key = (mesh, data_axis, jax.tree.structure(stacked_model),
+           jax.tree.structure(state0))
     if key not in cache:
         def local(model_shard, state0, max_iter, tol):
             run = jax.vmap(solver._run, in_axes=(0, None, None, None))
