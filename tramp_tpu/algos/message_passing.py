@@ -498,6 +498,13 @@ class MessagePassing:
         see the live engine like in the reference. ``update_dA=True``
         (reference message_passing.py:330-344) additionally records the
         per-message local Bethe change in ``self.dA`` each iteration.
+
+        NOTE: ``update_dA=True`` always takes the Python path (even with
+        callback=None): the per-slot dA floats are materialized on host
+        every iteration, which cannot live inside the fused while_loop.
+        ``damping="adaptive"`` runs in EITHER path (the Bethe backtracking
+        is branchless) — the two paths reach identical states
+        (tests/test_ep_glm.py::test_adaptive_damping_fused_matches_python).
         """
         if warm_start:
             if self.state is None:
