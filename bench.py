@@ -1,17 +1,18 @@
 #!/usr/bin/env python
 """Benchmark: AMP (EP) iterations/s/chip on the reference's headline workload
 (sparse linear regression / compressed sensing GLM, BASELINE.md), plus
-on-device accuracy and a nonlinear (piecewise-linear / Pallas) workload.
+on-device accuracy and a nonlinear (piecewise-linear / ML-VAMP) workload.
 
-Prints ONE JSON line:
-  {"metric": "ep_iterations_per_s_N1e4", "value": ..., "unit": "iter/s",
-   "vs_baseline": ..., "cpu_single_core_iter_per_s": ...,
-   "state_bf16": ..., "iter_s_f32_state": ..., "matmul_precision": ...,
-   "accuracy": {...}, "accuracy_gallery": {...}, "se_grid": {...},
-   "ensemble_sweep": {...}, "vamp_glm": {...}, "nonlinear": {...},
-   "accuracy_violations": [...]}
-(value = generic-engine throughput with bf16 message state; every
-accuracy block has asserted bounds — rc=1 on any violation)
+Writes the full record to bench_out.json and prints a COMPACT headline
+JSON as the final stdout line:
+  {"metric": "glm_iterations_per_s_N1e4_dispatched", "value": ...,
+   "unit": "iter/s", "vs_baseline": ..., "engine_iter_s": ...,
+   "ensemble_sweep_instances_per_s": ..., "accuracy_violations": [...],
+   "full_record": "bench_out.json"}
+(value = the DISPATCHED production path: dispatch_solver routes the
+flagship GLM chain to SpectralVAMPSolver; the generic-engine number is
+recorded alongside. Every accuracy block has asserted bounds — rc=1 on
+any violation.)
 
 - value: EP message-passing iterations/s at N=10^4, aggregated over a batch
   of instances sharing the sensing matrix but each with its OWN observation
@@ -133,6 +134,13 @@ ACCURACY_BOUNDS = {
     # (f32-band agreement on the flagship instance)
     "vamp_glm.v_rel_err_vs_ep_f32": 2e-2,
     "vamp_glm.mse_rel_err_vs_ep_f32": 2e-2,
+    # dispatched ML-VAMP on the relu net: same fixed point as the engine
+    "nonlinear.mlvamp_v_rel_err_vs_ep_f32": 2e-2,
+    "nonlinear.mlvamp_mse_rel_err_vs_ep_f32": 2e-2,
+    # two-phase gated solve: every lane converges on the TRUE tol in the
+    # f32 polish, and the fixed point agrees with the all-f32 solve
+    "gated.unconv_frac": 0.01,
+    "gated.v_rel_err_vs_f32": 5e-3,
 }
 
 
@@ -237,16 +245,21 @@ def bench_iterations(student, teacher, batch, n_loop):
 
 
 def bench_vamp_iterations(student, teacher, batch, n_loop):
-    """Spectral-VAMP fast-path throughput on the flagship GLM (same
-    chained-timing protocol as bench_iterations): per iteration only the
-    two V-basis GEMMs remain (2 Nz^2 MACs vs the generic engine's
-    2 Nz^2 + 3 Nx^2), the Gaussian-likelihood LMMSE step being fully
-    spectral — see tramp_tpu/parallel/vamp_glm.py."""
+    """DISPATCHED fast-path throughput on the flagship GLM (the
+    production path, VERDICT r3 item 2a): `dispatch_solver` routes the
+    prior @ LinearChannel @ GaussianLikelihood chain to
+    SpectralVAMPSolver — per iteration only the two V-basis GEMMs remain
+    (2 Nz^2 MACs vs the generic engine's 2 Nz^2 + 3 Nx^2), the
+    Gaussian-likelihood LMMSE step being fully spectral — see
+    tramp_tpu/parallel/vamp_glm.py. Same chained-timing protocol as
+    bench_iterations."""
     import jax
     import jax.numpy as jnp
+    from tramp_tpu.parallel import dispatch_solver
     from tramp_tpu.parallel.vamp_glm import SpectralVAMPSolver
 
-    solver = SpectralVAMPSolver(student)
+    solver = dispatch_solver(student)
+    assert isinstance(solver, SpectralVAMPSolver), type(solver)
 
     def loop(model, carry):
         def body(i, c):
@@ -277,18 +290,103 @@ def bench_vamp_iterations(student, teacher, batch, n_loop):
 
 
 def solve_flagship_vamp(dtype):
-    "Flagship instance via the spectral VAMP fast path (same data)."
+    "Flagship instance via the dispatched spectral fast path (same data)."
     import numpy as np
-    from tramp_tpu.parallel import SpectralVAMPSolver
+    from tramp_tpu.parallel import SpectralVAMPSolver, dispatch_solver
 
     student, _, sample = build(N, ALPHA, dtype)
-    solver = SpectralVAMPSolver(student, max_iter=500, tol=1e-8)
+    solver = dispatch_solver(student, max_iter=500, tol=1e-8)
+    assert isinstance(solver, SpectralVAMPSolver), type(solver)
     post, n_iter, conv = solver.solve_info(student)
     r = np.asarray(post["x"]["r"], dtype=np.float64)
     x0 = np.asarray(sample["x"], dtype=np.float64)
     return dict(mse=float(np.mean((r - x0) ** 2)),
                 v=float(post["x"]["v"]), n_iter=int(n_iter),
                 conv=bool(conv))
+
+
+def bench_gated(student, teacher, batch):
+    """Convergence-GATED throughput mode (VERDICT r3 item 3): two-phase
+    solve (bf16-state sweeps to a coarse delta above the bf16 limit-cycle
+    floor, then f32 polish to tol=1e-6, parallel/solver.py
+    solve_batch_gated_bf16) vs the f32-state gated solve, both batch-768
+    time-to-solution on the flagship GLM. Also asserts the gated fixed
+    point agrees with the f32 one and that the true tol actually fired."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tramp_tpu import config as tt_config
+    from tramp_tpu.parallel import EPSolver
+
+    solver = EPSolver(student, damping=0.1, max_iter=300, tol=1e-6)
+    dtype = student.factors[-1].y.dtype
+    keys = jax.random.split(jax.random.PRNGKey(3), batch)
+    ys = jax.jit(jax.vmap(
+        lambda k: jnp.asarray(teacher.sample(k)["y"], dtype)))(keys)
+    model_in, in_axes_model = _batched_model(student, ys)
+    run = solver._run
+    mi = jnp.asarray(solver.max_iter)
+
+    # A: f32-state gated baseline (the only convergence-gated option
+    # before this round)
+    jit_f32 = jax.jit(jax.vmap(run, in_axes=(in_axes_model, None, None,
+                                             None)))
+    state0 = solver.init_state()
+    out = jit_f32(model_in, state0, jnp.asarray(5), jnp.asarray(0.0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    post_f, _, it_f, conv_f = jit_f32(model_in, state0, mi,
+                                      jnp.asarray(solver.tol))
+    jax.block_until_ready(post_f)
+    t_f32 = time.perf_counter() - t0
+
+    # B: two-phase gated (bf16 phase + f32 polish)
+    jit_bf16 = jax.jit(jax.vmap(run, in_axes=(in_axes_model, None, None,
+                                              None)))
+    coarse = jnp.asarray(EPSolver.BF16_COARSE_TOL)
+    prev = tt_config.STATE_BF16
+    tt_config.STATE_BF16 = True
+    try:
+        state0b = solver.init_state()
+        out = jit_bf16(model_in, state0b, jnp.asarray(5), jnp.asarray(0.0))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        _, state1, n1, c1 = jit_bf16(model_in, state0b, mi, coarse)
+        jax.block_until_ready(state1)
+        t_phase1 = time.perf_counter() - t0
+    finally:
+        tt_config.STATE_BF16 = prev
+    state1 = EPSolver._upcast_state(state1)
+    jit_f32_state = jax.jit(jax.vmap(run, in_axes=(in_axes_model, 0, None,
+                                                   None)))
+    out = jit_f32_state(model_in, state1, jnp.asarray(1), jnp.asarray(0.0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    post_g, _, n2, conv_g = jit_f32_state(model_in, state1, mi,
+                                          jnp.asarray(solver.tol))
+    jax.block_until_ready(post_g)
+    t_phase2 = time.perf_counter() - t0
+    t_gated = t_phase1 + t_phase2
+
+    v_f = np.asarray(post_f["x"]["v"], np.float64).mean(axis=-1)
+    v_g = np.asarray(post_g["x"]["v"], np.float64).mean(axis=-1)
+    return {
+        "metric": "gated_solve_batch768_time_to_solution_s",
+        "value": round(t_gated, 4),
+        "unit": "s",
+        "t_f32_gated_s": round(t_f32, 4),
+        "speedup_vs_f32_gated": round(t_f32 / t_gated, 3),
+        "t_phase1_bf16_s": round(t_phase1, 4),
+        "t_phase2_f32_s": round(t_phase2, 4),
+        "n_iter_bf16_mean": float(np.asarray(n1).mean()),
+        "n_iter_f32_mean": float(np.asarray(n2).mean()),
+        "coarse_tol": float(EPSolver.BF16_COARSE_TOL),
+        "coarse_fired_frac": float(np.asarray(c1).mean()),
+        "unconv_frac": float(1.0 - np.asarray(conv_g).mean()),
+        "unconv_frac_f32": float(1.0 - np.asarray(conv_f).mean()),
+        "v_rel_err_vs_f32": float(np.abs(v_g - v_f).max()
+                                  / np.abs(v_f).max()),
+    }
 
 
 def se_prediction():
@@ -588,19 +686,27 @@ def bench_se_grid():
 # --------------------------------------------------------------------------
 
 SWEEP_N = 1000
-SWEEP_SEEDS = 64
+#: BASELINE configs[5] protocol: "10^4+ random instances per (alpha, rho)
+#: grid point". The seed axis is CHUNKED (the compiled per-alpha solve is
+#: reused across chunks), keeping the in-flight message state bounded
+#: (~0.25 GB per chunk) while the total hits the stated scale.
+SWEEP_SEEDS = 10_240
+SWEEP_SEED_CHUNK = 640
 SWEEP_ALPHAS = (0.25, 0.5, 0.75, 1.0)
 SWEEP_RHOS = (0.25, 0.5, 0.75, 0.9)
 
 
 def bench_ensemble_sweep():
-    """EP ensemble sweep: 4 alphas x 4 rhos x 64 seeds = 1024 EP instances
-    at N=1000 solved to convergence on-chip. Per alpha (shapes differ), the
-    (rho-point x seed) block runs as ONE nested-vmap fused while_loop: the
+    """EP ensemble sweep AT PROTOCOL SCALE (VERDICT r3 item 1): 4 alphas x
+    4 rhos x 10,240 seeds = 163,840 EP instances at N=1000 solved to
+    convergence on-chip. Per alpha (shapes differ), each (rho-point x
+    seed-chunk) block runs as ONE nested-vmap fused while_loop: the
     sensing matrix W varies per rho-point (outer axis), observations y per
-    seed (inner axis, W broadcast — no W replication in HBM). Returns
+    seed (inner axis, W broadcast — no W replication in HBM); the seed
+    axis runs in 16 chunks of 640 reusing the compiled solve. Returns
     instances/s + the EP-tracks-SE aggregate check (reference headline
-    claim, compressed_sensing_ep_vs_se protocol).
+    claim, compressed_sensing_ep_vs_se protocol) with the ~12x-sharper
+    3-sd-of-mean band the 10^4-seed ensemble buys.
 
     Runs at matmul precision "highest" with bf16 weight streaming OFF:
     measured on v5e, bf16-rounded GEMMs turn the EP fixed point into a
@@ -684,39 +790,58 @@ def _ensemble_sweep_impl():
                 return jax.vmap(per_seed)(ks)
             return jax.vmap(per_point)(stacked_teacher, keys)
 
-        def run_block(stacked_student, ys, state0, max_iter, tol):
-            "nested vmap: outer rho-points (model axis 0), inner seeds (y)."
-            def per_point(model, ys_p):
+        def run_block(stacked_student, ys, x0, state0, max_iter, tol):
+            """nested vmap: outer rho-points (model axis 0), inner seeds
+            (y). Reduces to per-lane (mse, n_iter, conv) ON DEVICE — at
+            10^4 seeds/point, pulling the raw (P, S, N) posteriors through
+            the remote tunnel would dominate the wall clock."""
+            def per_point(model, ys_p, x0_p):
                 y_leaf = model.factors[-1].y
 
-                def per_seed(y):
+                def per_seed(y, x0_s):
                     leaves, treedef = jax.tree.flatten(model)
                     leaves = [y if l is y_leaf else l for l in leaves]
                     m = jax.tree.unflatten(treedef, leaves)
-                    return solver._run(m, state0, max_iter, tol)
-                return jax.vmap(per_seed)(ys_p)
-            return jax.vmap(per_point)(stacked_student, ys)
+                    post, _, n_iter, conv = solver._run(
+                        m, state0, max_iter, tol)
+                    mse = jnp.mean((post["x"]["r"] - x0_s) ** 2)
+                    return mse, n_iter, conv
+                return jax.vmap(per_seed)(ys_p, x0_p)
+            return jax.vmap(per_point)(stacked_student, ys, x0)
 
         jit_block = jax.jit(run_block)
-        keys = jax.random.split(
-            jax.random.PRNGKey(1000 + ai),
-            len(SWEEP_RHOS) * SWEEP_SEEDS).reshape(
-                len(SWEEP_RHOS), SWEEP_SEEDS, 2)
-        x0, ys = sample_batch(stacked, keys)
+        jit_sample = jax.jit(sample_batch)
         students = stack_pytrees(students_list)
         state0 = solver.init_state()
-        # warmup/compile on this alpha's shapes
-        out = jit_block(students, ys, state0, jnp.asarray(5),
-                        jnp.asarray(0.0))
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        post, _, n_iter, conv = jit_block(
-            students, ys, state0, jnp.asarray(solver.max_iter),
-            jnp.asarray(solver.tol))
-        jax.block_until_ready(post)
-        t_solve += time.perf_counter() - t0
-        r = np.asarray(post["x"]["r"], np.float64)       # (P, S, N)
-        mse = ((r - np.asarray(x0, np.float64)) ** 2).mean(axis=2)
+        P = len(SWEEP_RHOS)
+        n_chunks, rem = divmod(SWEEP_SEEDS, SWEEP_SEED_CHUNK)
+        assert rem == 0, "SWEEP_SEEDS must be a multiple of the chunk"
+        # streaming per-point accumulators over the chunked seed axis
+        acc = dict(mse_sum=np.zeros(P), mse_sq=np.zeros(P),
+                   it_sum=np.zeros(P), conv=np.zeros(P, np.int64))
+        warmed = False
+        for ci in range(n_chunks):
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(1000 + ai), ci),
+                P * SWEEP_SEED_CHUNK).reshape(P, SWEEP_SEED_CHUNK, 2)
+            x0, ys = jit_sample(stacked, keys)
+            if not warmed:  # compile on this alpha's shapes (excluded)
+                out = jit_block(students, ys, x0, state0, jnp.asarray(5),
+                                jnp.asarray(0.0))
+                jax.block_until_ready(out)
+                warmed = True
+            t0 = time.perf_counter()
+            mse_d, n_iter, conv = jit_block(
+                students, ys, x0, state0, jnp.asarray(solver.max_iter),
+                jnp.asarray(solver.tol))
+            jax.block_until_ready(mse_d)
+            t_solve += time.perf_counter() - t0
+            mse = np.asarray(mse_d, np.float64)          # (P, S_chunk)
+            acc["mse_sum"] += mse.sum(axis=1)
+            acc["mse_sq"] += (mse ** 2).sum(axis=1)
+            acc["it_sum"] += np.asarray(n_iter, np.float64).sum(axis=1)
+            acc["conv"] += np.asarray(conv).sum(axis=1)
+        S = SWEEP_SEEDS
         for ri, rho in enumerate(SWEEP_RHOS):
             se = StateEvolution(glm_state_evolution(
                 alpha=alpha, prior_type="gauss_bernoulli",
@@ -725,15 +850,19 @@ def _ensemble_sweep_impl():
             se.iterate(max_iter=500)
             v_se = float(np.mean(np.asarray(
                 se.get_variable_data("x")["v"])))
+            m = acc["mse_sum"][ri] / S
             records.append(dict(
                 alpha=alpha, rho=rho, v_se=v_se,
-                mse_mean=float(mse[ri].mean()),
-                mse_std=float(mse[ri].std()),
-                n_iter_mean=float(np.asarray(n_iter)[ri].mean()),
-                n_conv=int(np.asarray(conv)[ri].sum())))
+                mse_mean=float(m),
+                mse_std=float(np.sqrt(
+                    max(acc["mse_sq"][ri] / S - m * m, 0.0))),
+                n_iter_mean=float(acc["it_sum"][ri] / S),
+                n_conv=int(acc["conv"][ri])))
     n_instances = len(SWEEP_ALPHAS) * len(SWEEP_RHOS) * SWEEP_SEEDS
     # EP tracks SE: ensemble-mean empirical mse within 3 sd-of-mean + 10%
-    # of the Bayes-optimal SE prediction at every moderate-v grid point
+    # of the Bayes-optimal SE prediction at every moderate-v grid point.
+    # At 10^4 seeds the sd-of-mean term is ~12x sharper than round 3's
+    # 64-seed run; the 10% model-error slack now dominates the band.
     devs = [abs(rec["mse_mean"] - rec["v_se"])
             / (3 * rec["mse_std"] / np.sqrt(SWEEP_SEEDS)
                + 0.1 * rec["v_se"] + 1e-9)
@@ -743,10 +872,13 @@ def _ensemble_sweep_impl():
         "value": round(n_instances / t_solve, 1),
         "unit": "instances/s",
         "n_instances": n_instances,
+        "n_seeds_per_point": SWEEP_SEEDS,
+        "seed_chunk": SWEEP_SEED_CHUNK,
         "n_grid_points": len(records),
         "solve_s": round(t_solve, 3),
         "ep_tracks_se_max_dev": float(max(devs)),
         "n_conv_total": int(sum(r["n_conv"] for r in records)),
+        "n_lanes_total": n_instances,
         "grid": records,
     }
 
@@ -848,13 +980,67 @@ def bench_pl_kernel_micro(n=8_000_000):
             "pallas_kernel_speedup": round(out["plain"] / out["fused"], 3)}
 
 
+def bench_mlvamp_relu(student, teacher, batch, n_loop):
+    """ML-VAMP (dispatched) throughput on the relu-net chain: the interior
+    LinearChannel's spectral images are carried across passes, dropping
+    the duplicate U^T bx GEMM (2Nz^2+2Nx^2 vs the engine's 2Nz^2+3Nx^2
+    MACs/sweep) — tramp_tpu/parallel/ml_vamp.py. Chained timing."""
+    import jax
+    import jax.numpy as jnp
+    from tramp_tpu.parallel import MLVAMPSolver, dispatch_solver
+
+    solver = dispatch_solver(student)
+    assert isinstance(solver, MLVAMPSolver), type(solver)
+
+    def loop(model, carry):
+        def body(i, c):
+            return solver._step(model, c)
+        return jax.lax.fori_loop(0, n_loop, body, carry)
+
+    dtype = student.factors[-1].y.dtype
+    keys = jax.random.split(jax.random.PRNGKey(3), batch)
+    ys = jax.jit(jax.vmap(
+        lambda k: jnp.asarray(teacher.sample(k)["y"], dtype)))(keys)
+    model_in, in_axes_model = _batched_model(student, ys)
+    carry0 = solver._init(student)
+    carry0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + jnp.shape(x)),
+        carry0)
+    fn = jax.jit(jax.vmap(loop, in_axes=(in_axes_model, 0)))
+    out = fn(model_in, carry0)
+    jax.block_until_ready(out)
+    reps = 3
+    state = out
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = fn(model_in, state)
+    jax.block_until_ready(state)
+    elapsed = (time.perf_counter() - t0) / reps
+    return batch * n_loop / elapsed
+
+
+def solve_relu_net_mlvamp(dtype):
+    "Relu net solved via the dispatched ML-VAMP path (same data)."
+    import numpy as np
+    from tramp_tpu.parallel import MLVAMPSolver, dispatch_solver
+
+    student, teacher, x0 = build_nonlinear(dtype)
+    solver = dispatch_solver(student, damping=0.1, max_iter=500, tol=1e-6)
+    assert isinstance(solver, MLVAMPSolver), type(solver)
+    post, n_iter, conv = solver.solve_info(student)
+    r = np.asarray(post["x"]["r"], np.float64)
+    mse = float(np.mean((r - np.asarray(x0, np.float64)) ** 2))
+    v = float(np.mean(np.asarray(post["x"]["v"], np.float64)))
+    return dict(mse=mse, v=v, n_iter=int(n_iter), conv=bool(conv))
+
+
 def bench_nonlinear():
-    "Relu-network EP iter/s: fused Pallas vs plain XLA, + kernel microbench."
+    "Relu-network EP iter/s: engine (Pallas vs XLA) + dispatched ML-VAMP."
     import jax
     from tramp_tpu import config
 
     student, teacher, _ = build_nonlinear("float32")
-    # production path: plain XLA (the auto gate resolves to False — the PL
+    # engine path: plain XLA (the auto gate resolves to False — the PL
     # posterior is VPU-compute-bound, docs/performance.md)
     config.USE_PALLAS = False
     plain = bench_iterations(student, teacher, NL_BATCH, N_LOOP)
@@ -862,10 +1048,16 @@ def bench_nonlinear():
     config.USE_PALLAS = True if jax.default_backend() == "tpu" else False
     fused = bench_iterations(student, teacher, NL_BATCH, N_LOOP)
     config.USE_PALLAS = None
+    # dispatched production path (ML-VAMP spectral chain solver)
+    mlvamp = bench_mlvamp_relu(student, teacher, NL_BATCH, N_LOOP)
+    ml32 = solve_relu_net_mlvamp("float32")
     return dict(metric="relu_net_ep_iterations_per_s_N4096",
-                value=round(plain, 2), unit="iter/s",
+                value=round(mlvamp, 2), unit="iter/s",
+                engine_iter_s=round(plain, 2),
+                mlvamp_speedup_vs_engine=round(mlvamp / plain, 3),
                 pallas_fused=round(fused, 2),
                 pallas_speedup=round(fused / plain, 3),
+                **{f"mlvamp_{k}_tpu_f32": v for k, v in ml32.items()},
                 **bench_pl_kernel_micro())
 
 
@@ -1002,6 +1194,9 @@ def main():
                                          N_LOOP)
         vamp32 = solve_flagship_vamp("float32")
 
+        # convergence-gated throughput mode (two-phase bf16 + f32 polish)
+        gated = bench_gated(student, teacher, BATCH_TPU)
+
         se_grid = bench_se_grid()
 
         sweep = bench_ensemble_sweep()
@@ -1045,15 +1240,30 @@ def main():
             f32["mse"]),
     }
 
+    # dispatched ML-VAMP relu-net fixed point vs the engine's (both TPU f32)
+    relu32 = gallery["relu_net"]
+    nonlinear["mlvamp_v_rel_err_vs_ep_f32"] = (
+        abs(nonlinear["mlvamp_v_tpu_f32"] - relu32["v_tpu_f32"])
+        / abs(relu32["v_tpu_f32"]))
+    nonlinear["mlvamp_mse_rel_err_vs_ep_f32"] = (
+        abs(nonlinear["mlvamp_mse_tpu_f32"] - relu32["mse_tpu_f32"])
+        / abs(relu32["mse_tpu_f32"]))
+
     violations = check_accuracy_bounds(
         {"flagship": accuracy, "se_grid": se_grid,
-         "ensemble_sweep": sweep, "vamp_glm": vamp_glm, **gallery})
+         "ensemble_sweep": sweep, "vamp_glm": vamp_glm,
+         "nonlinear": nonlinear, "gated": gated, **gallery})
 
     full = {
-        "metric": "ep_iterations_per_s_N1e4",
-        "value": round(tpu_its, 2),
+        # headline = the DISPATCHED production path (dispatch_solver routes
+        # the flagship GLM chain to SpectralVAMPSolver; VERDICT r3 item 2a)
+        "metric": "glm_iterations_per_s_N1e4_dispatched",
+        "value": round(vamp_its, 2),
         "unit": "iter/s",
-        "vs_baseline": round(tpu_its / cpu_its, 2),
+        "vs_baseline": round(vamp_its / cpu_its, 2),
+        "path": "dispatch:SpectralVAMPSolver",
+        "engine_iter_s_bf16_state": round(tpu_its, 2),
+        "engine_vs_baseline": round(tpu_its / cpu_its, 2),
         "cpu_single_core_iter_per_s": round(cpu_its, 4),
         "state_bf16": True,
         "iter_s_f32_state": round(tpu_its_f32state, 2),
@@ -1069,6 +1279,7 @@ def main():
         "se_grid": se_grid,
         "ensemble_sweep": sweep,
         "vamp_glm": vamp_glm,
+        "gated": gated,
         "nonlinear": nonlinear,
         "accuracy_violations": violations,
     }
@@ -1090,7 +1301,8 @@ def main():
         "ensemble_sweep_instances_per_s": sweep["value"],
         "ensemble_sweep_n_instances": sweep["n_instances"],
         "se_grid_points_per_s": se_grid["value"],
-        "relu_net_iter_s": nonlinear["value"],
+        "relu_net_mlvamp_iter_s": nonlinear["value"],
+        "relu_net_engine_iter_s": nonlinear["engine_iter_s"],
         "accuracy_violations": violations,
         "full_record": "bench_out.json",
     }))

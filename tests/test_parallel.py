@@ -272,3 +272,43 @@ def test_checkpoint_resume_sharded(tmp_path):
     np.testing.assert_allclose(
         np.asarray(post_rest["x"]["r"]), np.asarray(post_full["x"]["r"]),
         rtol=1e-8, atol=1e-12)
+
+
+def test_solve_gated_bf16():
+    """Two-phase convergence-gated throughput mode (VERDICT r3 item 3):
+    bf16-state sweeps to the coarse gate, f32 polish to the true tol.
+    The gate must actually fire on tol=1e-6 and reach the f32 fixed
+    point."""
+    import tramp_tpu as tt
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.channels import LinearChannel, GaussianChannel
+
+    N = 200
+    rng = np.random.RandomState(0)
+    W = rng.randn(120, N) / np.sqrt(N)
+    teacher = (GaussBernoulliPrior(size=N, rho=0.3) @ tt.V(id="x") @
+               LinearChannel(jnp.asarray(W, jnp.float32)) @ tt.V(id="z") @
+               GaussianChannel(var=1e-2) @ tt.O(id="y")).to_model()
+    sample = teacher.sample(jax.random.PRNGKey(1))
+    student = teacher.to_observed(
+        {"y": jnp.asarray(sample["y"], jnp.float32)})
+    solver = EPSolver(student, damping=0.1, max_iter=500, tol=1e-6)
+    post_f32, _, conv_f32 = solver.solve_info(student)
+    assert bool(conv_f32)
+    post_g, n_tot, conv_g, info = solver.solve_gated_bf16(student)
+    assert bool(conv_g), "true tol=1e-6 gate must fire in the f32 polish"
+    assert info["coarse_fired"], "bf16 phase must stop on the coarse gate"
+    assert info["n_iter_bf16"] > 0 and info["n_iter_f32"] > 0
+    v_f = float(np.mean(np.asarray(post_f32["x"]["v"])))
+    v_g = float(np.mean(np.asarray(post_g["x"]["v"])))
+    assert abs(v_g - v_f) / abs(v_f) < 1e-3
+
+    # batched variant: every lane converges on the true tol
+    models = []
+    for s in range(4):
+        smp = teacher.sample(jax.random.PRNGKey(10 + s))
+        models.append(teacher.to_observed(
+            {"y": jnp.asarray(smp["y"], jnp.float32)}))
+    stacked = stack_pytrees(models)
+    post_b, it_b, conv_b = solver.solve_batch_gated_bf16(stacked)
+    assert np.asarray(conv_b).all()
