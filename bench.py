@@ -122,8 +122,13 @@ ACCURACY_BOUNDS = {
     # and the f64 seed-to-seed band mse spread (0.11-0.45) dwarfs any dtype
     # effect. The asserted contract is task-level: the TPU f32 snapshot must
     # beat the trivial fill-zero baseline and land within the f64 seed band.
-    "vae_inpainting.mse_ratio_vs_trivial": 0.6,
-    "vae_inpainting.mse_ratio_vs_f64_band": 1.5,
+    # Bounds tightened round 4 from the in-suite reference-EP parity
+    # (tests/test_reference_parity.py::test_vae_inpainting_reference_parity:
+    # 30-sweep snapshot matches the reference to 1e-14; 250-sweep task MSE
+    # gap 1.6% of the trivial scale; bench-protocol measured ratios 0.072
+    # and <=1.0)
+    "vae_inpainting.mse_ratio_vs_trivial": 0.3,
+    "vae_inpainting.mse_ratio_vs_f64_band": 1.2,
     # SE grid rows vs the reference's committed CSV values (f32 on TPU)
     "se_grid.max_rel_err_vs_golden": 1e-2,
     # config-5 ensemble sweep: per-grid-point ensemble-mean empirical mse

@@ -443,3 +443,130 @@ def test_ep_diagonal_variance_parity():
     assert np.shape(np.asarray(my_d["v"])) == (N,)
     np.testing.assert_allclose(np.asarray(my_d["v"]), ref_d["v"],
                                rtol=1e-7, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# VAE-prior inpainting parity (BASELINE config 4, VERDICT r3 missing #2)
+# ---------------------------------------------------------------------------
+
+VAE_H5 = ("/root/reference/examples/vae_prior/weights_vae/mnist/"
+          "vae_mnist_20_relu_400_sigmoid_784_bias.h5")
+
+
+def _vae_twin_models(T_protocol=True):
+    """Twin VAE-prior inpainting models on IDENTICAL data, following the
+    reference protocol exactly (plot_vae.py:125-136 model, :186-240 band
+    mask + F_obs, :303 run_ep): central 25% band erased, y = F_obs x_star
+    (no observation noise), GaussianLikelihood var=1e-2. x_star is a
+    decoder sample (MNIST itself needs a network download; the protocol
+    contract is the model + engine, not the image source)."""
+    import h5py  # noqa: F401  (skip early if unavailable)
+    from tramp_tpu.models.vae_prior import (load_vae_decoder_weights,
+                                            vae_prior_block)
+
+    biases, weights = load_vae_decoder_weights(VAE_H5)
+    W1, W2 = (np.asarray(w, np.float64) for w in weights)
+    b1, b2 = (np.asarray(b, np.float64) for b in biases)
+
+    rng = np.random.RandomState(7)
+    z0 = rng.randn(20)
+    h = np.maximum(W1 @ z0 + b1, 0.0)
+    x_star = np.clip(W2 @ h + b2, -1.0, 1.0)
+
+    # reference band mask: F = identity with the central 25% diagonal
+    # zeroed, F_obs = F with its zero rows deleted (plot_vae.py:193-218)
+    N = 784
+    F = np.identity(N)
+    n_rem = int(25 * N / 100)
+    id_0 = N // 2 - n_rem // 2
+    for rem in range(id_0, id_0 + n_rem):
+        F[rem, rem] = 0
+    band = ~F.any(axis=0)
+    F_obs = np.delete(F, np.where(band)[0], axis=0)
+    y = F_obs @ x_star
+
+    load_reference()
+    from tramp.priors import GaussianPrior as RefGaussianPrior
+    from tramp.channels import (LinearChannel as RefLinear,
+                                BiasChannel as RefBias,
+                                LeakyReluChannel as RefLeakyRelu,
+                                HardTanhChannel as RefHardTanh,
+                                ReshapeChannel as RefReshape)
+    from tramp.likelihoods import GaussianLikelihood as RefGaussianLik
+    from tramp.variables import SISOVariable as RV
+
+    ref_prior = (RefGaussianPrior(size=20) @ RV(id="z_0") @
+                 RefLinear(W1, name="W_1") @ RV(id="Wz_1") @
+                 RefBias(b1) @ RV(id="b_1") @
+                 RefLeakyRelu(0) @ RV(id="z_1") @
+                 RefLinear(W2, name="W_2") @ RV(id="Wz_2") @
+                 RefBias(b2) @ RV(id="b_2") @
+                 RefHardTanh() @ RV(id="z_2") @
+                 RefReshape(prev_shape=784, next_shape=784))
+    ref_model = (ref_prior @ RV(id="x") @
+                 RefLinear(F_obs, name="F") @ RV(id="z") @
+                 RefGaussianLik(y=y, var=1e-2)).to_model()
+
+    import tramp_tpu as tt
+    from tramp_tpu.channels import LinearChannel
+    from tramp_tpu.likelihoods import GaussianLikelihood
+
+    block = vae_prior_block([jnp.asarray(W1), jnp.asarray(W2)],
+                            [jnp.asarray(b1), jnp.asarray(b2)])
+    my_model = (block @ tt.V(id="x") @
+                LinearChannel(jnp.asarray(F_obs), name="F") @ tt.V(id="z") @
+                GaussianLikelihood(y=jnp.asarray(y),
+                                   var=1e-2)).to_model()
+    return my_model, ref_model, x_star, band
+
+
+@pytest.mark.slow
+def test_vae_inpainting_reference_parity():
+    """Reference-EP parity on the config-4 VAE model (f64, damping=0.5 —
+    the plot_vae.py:303 protocol, deterministic ConstantInit on both
+    sides so the comparison is engine-vs-engine on identical data).
+
+    Two assertions: (a) a 30-sweep snapshot matches elementwise at f64
+    tightness — EP on this model oscillates without converging, so long
+    trajectories amplify last-bit float differences and elementwise
+    parity is only meaningful before the amplification horizon; (b) at
+    the full 250-sweep protocol budget both engines land at the SAME
+    task quality: band-MSE gap under 20% of the trivial-fill scale."""
+    my_model, ref_model, x_star, band = _vae_twin_models()
+    from tramp.algos import ExpectationPropagation as RefEP
+    import tramp_tpu as tt
+
+    # (a) 30-sweep elementwise snapshot parity
+    n_snap = 30
+    ref_ep = RefEP(ref_model)
+    ref_ep.iterate(max_iter=n_snap, damping=0.5, callback=lambda *a: False)
+    ref_x = ref_ep.get_variable_data("x")
+    my_ep = tt.ExpectationPropagation(my_model)
+    # python path (callback present): no divergence rollback, like the ref
+    my_ep.iterate(max_iter=n_snap, damping=0.5,
+                  callback=lambda algo, i, m: False)
+    my_x = my_ep.get_variable_data("x")
+    np.testing.assert_allclose(np.asarray(my_x["r"]), ref_x["r"],
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(my_x["v"]), ref_x["v"],
+                               rtol=1e-5, atol=1e-8)
+
+    # (b) full protocol budget: task-level agreement
+    n_full = 250
+    ref_ep2 = RefEP(ref_model)
+    ref_ep2.iterate(max_iter=n_full, damping=0.5,
+                    callback=lambda *a: False)
+    ref_r = ref_ep2.get_variable_data("x")["r"]
+    my_ep2 = tt.ExpectationPropagation(my_model)
+    my_ep2.iterate(max_iter=n_full, damping=0.5,
+                   callback=lambda algo, i, m: False)
+    my_r = np.asarray(my_ep2.get_variable_data("x")["r"])
+
+    mse_trivial = float(np.mean(x_star[band] ** 2))
+    mse_ref = float(np.mean((ref_r[band] - x_star[band]) ** 2))
+    mse_my = float(np.mean((my_r[band] - x_star[band]) ** 2))
+    # both reconstruct (beat trivial fill-zero), and agree at task level
+    assert mse_ref < 0.6 * mse_trivial
+    assert mse_my < 0.6 * mse_trivial
+    assert abs(mse_my - mse_ref) < 0.2 * mse_trivial, \
+        f"mse_my={mse_my}, mse_ref={mse_ref}, trivial={mse_trivial}"
