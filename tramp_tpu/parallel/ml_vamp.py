@@ -182,7 +182,14 @@ class MLVAMPSolver:
         def step(model, carry):
             """One engine-identical sweep: forward pass then backward pass.
             carry = (msgs, txs); msgs[i] = {fa, fb, ba, bb} at interface i,
-            txs[l] = U^T (backward b at factor l's x side) for linear l."""
+            txs[l] = U^T (backward b at factor l's x side) for linear l.
+
+            A pinned terminal's (ba, bb) are NOT part of the carry: they
+            are reconstituted from the model here, so XLA sees them as
+            loop invariants computed outside the while_loop. Carrying the
+            constant through the loop state instead measurably wrecks the
+            backend's loop schedule (the round-3 constant-message-pinning
+            negative, docs/performance.md — 206k -> 91k iter/s)."""
             factors = fresh(model)
             msgs, txs = list(carry[0]), dict(carry[1])
             if self._pin_terminal:
@@ -252,27 +259,42 @@ class MLVAMPSolver:
                 m_out["ba"], m_out["bb"] = _damped(
                     m_out["ba"], m_out["bb"], a_new, b_new)
                 msgs[l - 1] = m_out
+            if self._pin_terminal:
+                # keep the pinned constants OUT of the loop carry
+                m = dict(msgs[L - 1])
+                m.pop("ba"), m.pop("bb")
+                msgs[L - 1] = m
             return (tuple(msgs), txs)
 
-        def posterior_r(carry):
+        def posterior_r(model, carry):
             "Per-interface posterior means (the engine's 'r' stop metric)."
             msgs, _ = carry
+            pin = pin_msg(model) if self._pin_terminal else None
             out = []
             for i, m in enumerate(msgs):
                 if i == L - 1 and self._skip_fwd_terminal:
                     continue  # fwd slot not updated inside the loop
-                a = m["fa"] + m["ba"]
+                if pin is not None and i == L - 1:
+                    a = m["fa"] + pin["a"]
+                    b = m["fb"] + pin["b"]
+                else:
+                    a = m["fa"] + m["ba"]
+                    b = m["fb"] + m["bb"]
                 tiny = jnp.finfo(jnp.result_type(a)).tiny
-                out.append((m["fb"] + m["bb"]) / jnp.maximum(a, tiny))
+                out.append(b / jnp.maximum(a, tiny))
             return tuple(out)
 
         def init(model):
             dtype = jnp.result_type(fresh(model)[-1].y)
             msgs = []
-            for shape in self._shapes:
+            for i, shape in enumerate(self._shapes):
                 z = jnp.zeros(shape, dtype)
-                msgs.append({"fa": jnp.asarray(0.0, dtype), "fb": z,
-                             "ba": jnp.asarray(0.0, dtype), "bb": z})
+                m = {"fa": jnp.asarray(0.0, dtype), "fb": z,
+                     "ba": jnp.asarray(0.0, dtype), "bb": z}
+                if self._pin_terminal and i == L - 1:
+                    # pinned slots live outside the carry (see step)
+                    m.pop("ba"), m.pop("bb")
+                msgs.append(m)
             txs = {}
             for l, f in enumerate(fresh(model)):
                 if self._linear[l] and not (
@@ -302,7 +324,7 @@ class MLVAMPSolver:
                     [jnp.all(jnp.isfinite(x)) for x in flat]).all()
                 new_carry = jax.tree.map(
                     lambda n, o: jnp.where(ok, n, o), new_carry, carry)
-                new_r = posterior_r(new_carry)
+                new_r = posterior_r(model, new_carry)
 
                 def norm(x):
                     return jnp.sqrt(jnp.mean(x**2))
@@ -318,7 +340,7 @@ class MLVAMPSolver:
                 return (new_carry, new_r, i + 1, done, conv)
 
             carry0 = init(model)
-            r0 = posterior_r(carry0)
+            r0 = posterior_r(model, carry0)
             carry, _, i, done, conv = jax.lax.while_loop(
                 cond, body, (carry0, r0, jnp.asarray(0),
                              jnp.asarray(False), jnp.asarray(False)))
@@ -327,6 +349,7 @@ class MLVAMPSolver:
         self._step = step
         self._init = init
         self._run = run
+        self._pin_msg = pin_msg
         self._jit_single = jax.jit(run)
         self._jit_batch = jax.jit(jax.vmap(run, in_axes=(0, None, None)))
 
@@ -336,6 +359,12 @@ class MLVAMPSolver:
         factors = list(model.factors)
         L = self.L
         msgs = list(msgs)
+        if self._pin_terminal:
+            # reconstitute the pinned slots (kept out of the loop carry)
+            pin = self._pin_msg(model)
+            m = dict(msgs[L - 1])
+            m["ba"], m["bb"] = pin["a"], pin["b"]
+            msgs[L - 1] = m
         if self._skip_fwd_terminal:
             # materialize the one message the loop never needed: the
             # linear factor's forward posterior at the terminal interface
