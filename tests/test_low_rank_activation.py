@@ -65,3 +65,153 @@ def test_low_rank_factorization_channel():
     assert x.shape == (20, 30)
     tau = ch.second_moment(1.0, 1.0)
     np.testing.assert_allclose(float(tau), 2 * 1.0 * 1.0 / 30)
+
+
+# ---------------------------------------------------------------------------
+# Reference-solver parity (VERDICT r3 missing #3): the embedded VAMP solver
+# and the full KxK SE against the reference's own standalone solvers on an
+# identical K=2 'UV' instance.
+# ---------------------------------------------------------------------------
+
+import pytest
+import sys
+import os
+sys.path.insert(0, os.path.dirname(__file__))
+from reference_oracle import reference_available, load_reference  # noqa
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference checkout not available")
+def test_vamp_solver_matches_reference_k2():
+    """The batched/jitted vamp_matrix_factorization must reach the same
+    fixed point as the reference's per-row VAMP_matrix_factorization
+    (AMP_matrix_factorization.py:6-491) on an identical K=2 UV instance:
+    same deterministic init (0.1 hats / 0.01 I covs, first A/B without
+    Onsager), same damping 0.1, same overlap stopping."""
+    load_reference()
+    from tramp.channels.low_rank.AMP_matrix_factorization import (
+        VAMP_matrix_factorization)
+
+    # two noise regimes where the REFERENCE's own stopping criterion
+    # fires (K=2 factorization has a rotational gauge freedom; at very
+    # high SNR both solvers drift in the gauge direction for the full
+    # 500-iteration budget without meeting tol, so no common fixed point
+    # exists to compare). Delta=0.5 converges in ~64 steps (parity
+    # ~1e-15), Delta=0.1 in ~357 (parity ~1e-6: the two solvers stop at
+    # slightly different iterations).
+    for Delta, rtol in ((0.5, 1e-8), (0.1, 1e-4)):
+        rng = np.random.RandomState(3)
+        M, N, K = 40, 60, 2
+        u0 = rng.randn(M, K)
+        v0 = rng.randn(N, K)
+        Y = u0 @ v0.T / np.sqrt(N) + np.sqrt(Delta) * rng.randn(M, N)
+        ax = 1.0 / Delta
+        bx = Y / Delta
+        au, av = 1.0, 1.0
+        bu = rng.randn(M, K)
+        bv = rng.randn(N, K)
+
+        # reference call convention: bu (M, K), bv (N, K) — the shapes
+        # its own low_rank_factorization.py:52-57 call site asserts
+        ref = VAMP_matrix_factorization(
+            K=K, N=N, M=M, model="UV", Delta=Delta,
+            au_av_bu_bv=[au, av, bu, bv], ax_bx=[ax, bx])
+        ref_ru, ref_vu, ref_rv, ref_vv = ref.VAMP_training()
+        assert ref.step <= 500, "oracle itself must have converged"
+
+        my_ru, my_vu, my_rv, my_vv = jax.jit(
+            lambda bx: vamp_matrix_factorization(
+                au=au, av=av, bu=jnp.asarray(bu), bv=jnp.asarray(bv),
+                ax=ax, bx=bx, model="UV"))(jnp.asarray(bx))
+
+        np.testing.assert_allclose(np.asarray(my_ru), ref_ru,
+                                   rtol=rtol, atol=1e-8, err_msg=f"{Delta}")
+        np.testing.assert_allclose(np.asarray(my_rv), ref_rv,
+                                   rtol=rtol, atol=1e-8, err_msg=f"{Delta}")
+        np.testing.assert_allclose(float(my_vu), float(ref_vu), rtol=rtol)
+        np.testing.assert_allclose(float(my_vv), float(ref_vv), rtol=rtol)
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference checkout not available")
+def test_se_kk_matches_reference_k2():
+    """The full KxK overlap recursion (se_matrix_factorization_kk) must
+    reproduce the reference's SE_matrix_factorization fixed point on a
+    K=2 UV instance — same (seeded) init, same saddle-point formulas
+    (SE_matrix_factorization.py:53-101)."""
+    load_reference()
+    from tramp.channels.low_rank.SE_matrix_factorization import (
+        SE_matrix_factorization)
+    from tramp_tpu.channels.low_rank.vamp_solver import (
+        se_matrix_factorization_kk)
+
+    # moderate SNR: the reference's own (undamped) recursion diverges to
+    # singular matrices at Delta <~ 0.1 — parity is only meaningful where
+    # the oracle itself converges
+    K, N, M = 2, 500, 750
+    au, av, ax = 1.0, 1.0, 2.0
+
+    np.random.seed(4)
+    ref = SE_matrix_factorization(K=K, N=N, M=M, model="UV",
+                                  au_av=[au, av], ax=ax)
+    # drive the oracle's own loop (main() would re-randomize the init;
+    # we need to capture it to seed our recursion identically)
+    ref.initialization()
+    q0_u, q0_v = np.copy(ref.qu), np.copy(ref.qv)
+    while not ref.stopping_criteria() and ref.step < ref.max_steps:
+        ref.iteration()
+    ref.qu = ref.data["qu"][-1]
+    ref.qv = ref.data["qv"][-1]
+    ref.compute_MSE()
+
+    mse_u, mse_v = se_matrix_factorization_kk(
+        au=au, av=av, ax=ax, model="UV", K=K, alpha=M / N,
+        q0_u=jnp.asarray(q0_u), q0_v=jnp.asarray(q0_v))
+
+    np.testing.assert_allclose(np.asarray(mse_u), ref.MSE_u,
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mse_v), ref.MSE_v,
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_se_kk_reduces_to_scalar_zero_mean():
+    """With zero prior means and isotropic priors the KxK recursion is
+    diagonal and its per-component error must agree with the robust
+    scalar recursion the channels route through (within the KxK form's
+    stability domain — the reference's matrix formulas diverge at high
+    SNR, which is why the channels use the scalar form)."""
+    from tramp_tpu.channels.low_rank.vamp_solver import (
+        se_matrix_factorization_kk, se_matrix_factorization)
+
+    # damping widens the stability domain without moving the fixed point
+    for ax, damping in ((2.0, 0.0), (5.0, 0.5), (10.0, 0.8)):
+        mse_u, mse_v = se_matrix_factorization_kk(
+            au=1.0, av=1.0, ax=ax, model="UV", K=2, alpha=1.0,
+            damping=damping)
+        mse_u, mse_v = np.asarray(mse_u), np.asarray(mse_v)
+        vz_u, vz_v = se_matrix_factorization(
+            au=1.0, av=1.0, ax=ax, model="UV", K=2, N=100, M=100)
+        for m in (mse_u, mse_v):
+            # symmetric, off-diagonals negligible vs diagonal (zero means)
+            assert abs(m - m.T).max() < 1e-8
+            assert abs(m - np.diag(np.diag(m))).max() < 1e-3 * abs(
+                np.diag(m)).max()
+            d = np.diag(m)
+            assert (d > 0).all() and (d < 1.0).all()
+        np.testing.assert_allclose(np.trace(mse_u) / 2, float(vz_u),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.trace(mse_v) / 2, float(vz_v),
+                                   rtol=1e-3)
+
+
+def test_se_kk_prior_mean_terms_informative():
+    "Nonzero prior means reduce the SE error (the lam terms are live)."
+    from tramp_tpu.channels.low_rank.vamp_solver import (
+        se_matrix_factorization_kk)
+
+    _, mse0 = se_matrix_factorization_kk(
+        au=1.0, av=1.0, ax=2.0, model="UV", K=2, alpha=1.0)
+    _, mse1 = se_matrix_factorization_kk(
+        au=1.0, av=1.0, ax=2.0, model="UV", K=2, alpha=1.0,
+        lam_u=jnp.asarray([1.0, 1.0]), lam_v=jnp.asarray([1.0, 1.0]))
+    assert float(jnp.trace(mse1)) < float(np.trace(np.asarray(mse0)))

@@ -5,7 +5,9 @@ import jax
 import jax.numpy as jnp
 
 from ..base_channel import Channel, MatrixFactorization
-from .vamp_solver import vamp_matrix_factorization, se_matrix_factorization
+from .vamp_solver import (vamp_matrix_factorization,
+                          se_matrix_factorization,
+                          se_matrix_factorization_kk)  # noqa: F401
 
 
 class LowRankGramChannel(Channel):
@@ -39,6 +41,12 @@ class LowRankGramChannel(Channel):
         return rz_v, vz_v
 
     def compute_backward_error(self, az, ax, tau_z):
+        # channel contract is isotropic zero-mean (scalar az), where the
+        # KxK overlap recursion is diagonal and its fixed point equals the
+        # scalar recursion's (tested); the scalar form is used because the
+        # reference's KxK formulas diverge at high SNR (Delta <~ 0.1) even
+        # damped — se_matrix_factorization_kk carries the full matrix
+        # protocol (mean terms, anisotropy) with reference parity tests
         return se_matrix_factorization(
             au=az, av=az, ax=ax, model="XX", K=self.K, N=self.N, M=self.N)
 
@@ -75,6 +83,8 @@ class LowRankFactorization(MatrixFactorization):
         return [rz_u, rz_v], [vz_u, vz_v]
 
     def compute_backward_error(self, az, ax, tau_z):
+        # scalar recursion for robustness; same fixed point as the KxK
+        # protocol in this isotropic zero-mean contract (see LowRankGram)
         au, av = az
         vz_u, vz_v = se_matrix_factorization(
             au=au, av=av, ax=ax, model="UV", K=self.K, N=self.N, M=self.M)
