@@ -1,5 +1,6 @@
 """Batched/sharded solver tests on the virtual 8-device CPU mesh."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -312,3 +313,60 @@ def test_solve_gated_bf16():
     stacked = stack_pytrees(models)
     post_b, it_b, conv_b = solver.solve_batch_gated_bf16(stacked)
     assert np.asarray(conv_b).all()
+
+
+@pytest.mark.slow
+def test_checkpoint_elastic_mesh_reshape(tmp_path):
+    """Elastic restore (VERDICT r3 item 8): a checkpoint written under one
+    mesh shape restores into DIFFERENT meshes — (8,1) data-parallel ->
+    (2,4) data x model, -> a 4-device submesh, -> a single device — and
+    each resumed solve reaches the uninterrupted run's fixed point.
+    Orbax saves global arrays, so the restore template's shardings fully
+    determine the new placement (parallel/checkpoint.py restore_checkpoint
+    `like=`)."""
+    from jax.sharding import Mesh
+    from tramp_tpu.parallel import save_checkpoint, restore_checkpoint
+    from tramp_tpu.parallel.mesh import shard_batched_state
+
+    mesh_a = make_mesh((8, 1), ("data", "model"))
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    models, _ = zip(*[_build(64, 0.7, k) for k in keys])
+    stacked_host = stack_pytrees(list(models))
+    stacked_a = shard_batched_model(stacked_host, mesh_a)
+
+    inf = float("inf")
+    with mesh_a:
+        full_solver = EPSolver(models[0], damping=0.1, max_iter=100,
+                               tol=1e-8, rollback_increase=inf)
+        post_full, _ = full_solver.solve_batch(stacked_a)
+        part_solver = EPSolver(models[0], damping=0.1, max_iter=7,
+                               tol=1e-12, rollback_increase=inf)
+        _, state7, n7 = part_solver.solve_batch_with_state(stacked_a)
+        path = tmp_path / "ckpt_elastic"
+        save_checkpoint(path, state7, n7)
+
+    r_full = np.asarray(post_full["x"]["r"])
+
+    devices = np.array(jax.devices())
+    target_meshes = [
+        make_mesh((2, 4), ("data", "model")),              # reshaped axes
+        Mesh(devices[:4].reshape(4, 1), ("data", "model")),  # fewer devices
+        Mesh(devices[:1].reshape(1, 1), ("data", "model")),  # single device
+    ]
+    for mesh_b in target_meshes:
+        with mesh_b:
+            stacked_b = shard_batched_model(stacked_host, mesh_b)
+            # template carries mesh_b shardings -> restore reshapes
+            template = shard_batched_state(state7, mesh_b)
+            state_r, n_r = restore_checkpoint(path, like=(template, n7))
+            np.testing.assert_array_equal(np.asarray(n_r), np.asarray(n7))
+            # restored values are the checkpointed values, resharded
+            for a, b in zip(jax.tree.leaves(state_r),
+                            jax.tree.leaves(state7)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            rest_solver = EPSolver(models[0], damping=0.1, max_iter=93,
+                                   tol=1e-8, rollback_increase=inf)
+            post_rest, _ = rest_solver.solve_batch(stacked_b, state=state_r)
+        np.testing.assert_allclose(np.asarray(post_rest["x"]["r"]), r_full,
+                                   rtol=1e-8, atol=1e-12,
+                                   err_msg=str(mesh_b.shape))
