@@ -783,7 +783,9 @@ def _ensemble_sweep_impl():
         stacked = stack_pytrees(models)
         students_list = [
             m.to_observed({"y": jnp.zeros(M, jnp.float32)}) for m in models]
-        solver = EPSolver(students_list[0], damping=0.1, max_iter=300,
+        # 500: at 10^4 seeds/point a ~1e-4 tail of lanes needs >300
+        # sweeps; the cost is straggler-only (converged lanes freeze)
+        solver = EPSolver(students_list[0], damping=0.1, max_iter=500,
                           tol=1e-6)
 
         def sample_batch(stacked_teacher, keys):
