@@ -316,7 +316,17 @@ def bench_gated(student, teacher, batch):
     floor, then f32 polish to tol=1e-6, parallel/solver.py
     solve_batch_gated_bf16) vs the f32-state gated solve, both batch-768
     time-to-solution on the flagship GLM. Also asserts the gated fixed
-    point agrees with the f32 one and that the true tol actually fired."""
+    point agrees with the f32 one and that the true tol actually fired.
+
+    Precision: the CONVERGENT phases (the f32 baseline and the polish)
+    run at matmul precision "highest" with bf16 weight streaming off —
+    measured on this runtime, bf16-rounded GEMMs limit-cycle the
+    relative-r delta at ~1e-3 in broadcast-W batched layouts (the
+    round-3 N=1000 finding, reproduced at N=1e4 batch 768: tol=1e-6
+    never fires in 300 sweeps at default precision even with f32 state,
+    while the single-instance accuracy block converges in ~44). The bf16
+    throughput phase needs no gate and keeps default precision."""
+    import contextlib
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -332,20 +342,33 @@ def bench_gated(student, teacher, batch):
     run = solver._run
     mi = jnp.asarray(solver.max_iter)
 
-    # A: f32-state gated baseline (the only convergence-gated option
-    # before this round)
+    @contextlib.contextmanager
+    def exact_gemms():
+        prev = tt_config.MATVEC_BF16
+        tt_config.MATVEC_BF16 = False
+        try:
+            with jax.default_matmul_precision("highest"):
+                yield
+        finally:
+            tt_config.MATVEC_BF16 = prev
+
+    # A: f32-state gated baseline (the only convergence-gated batched
+    # option before this round), at the convergent precision
     jit_f32 = jax.jit(jax.vmap(run, in_axes=(in_axes_model, None, None,
                                              None)))
-    state0 = solver.init_state()
-    out = jit_f32(model_in, state0, jnp.asarray(5), jnp.asarray(0.0))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    post_f, _, it_f, conv_f = jit_f32(model_in, state0, mi,
-                                      jnp.asarray(solver.tol))
-    jax.block_until_ready(post_f)
-    t_f32 = time.perf_counter() - t0
+    with exact_gemms():
+        state0 = solver.init_state()
+        out = jit_f32(model_in, state0, jnp.asarray(5), jnp.asarray(0.0))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        post_f, _, it_f, conv_f = jit_f32(model_in, state0, mi,
+                                          jnp.asarray(solver.tol))
+        jax.block_until_ready(post_f)
+        t_f32 = time.perf_counter() - t0
 
-    # B: two-phase gated (bf16 phase + f32 polish)
+    # B phase 1: bf16 state, default precision (the throughput mode; the
+    # coarse 5e-3 gate sits above both the bf16-state floor and the
+    # broadcast-W GEMM-rounding floor, so it fires regardless)
     jit_bf16 = jax.jit(jax.vmap(run, in_axes=(in_axes_model, None, None,
                                               None)))
     coarse = jnp.asarray(EPSolver.BF16_COARSE_TOL)
@@ -362,15 +385,18 @@ def bench_gated(student, teacher, batch):
     finally:
         tt_config.STATE_BF16 = prev
     state1 = EPSolver._upcast_state(state1)
+    # B phase 2: f32 polish at the convergent precision
     jit_f32_state = jax.jit(jax.vmap(run, in_axes=(in_axes_model, 0, None,
                                                    None)))
-    out = jit_f32_state(model_in, state1, jnp.asarray(1), jnp.asarray(0.0))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    post_g, _, n2, conv_g = jit_f32_state(model_in, state1, mi,
-                                          jnp.asarray(solver.tol))
-    jax.block_until_ready(post_g)
-    t_phase2 = time.perf_counter() - t0
+    with exact_gemms():
+        out = jit_f32_state(model_in, state1, jnp.asarray(1),
+                            jnp.asarray(0.0))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        post_g, _, n2, conv_g = jit_f32_state(model_in, state1, mi,
+                                              jnp.asarray(solver.tol))
+        jax.block_until_ready(post_g)
+        t_phase2 = time.perf_counter() - t0
     t_gated = t_phase1 + t_phase2
 
     v_f = np.asarray(post_f["x"]["v"], np.float64).mean(axis=-1)

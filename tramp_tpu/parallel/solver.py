@@ -166,7 +166,17 @@ class _Solver:
     def solve_batch_gated_bf16(self, stacked_model, initializer=None,
                                coarse_tol=None):
         """Batched two-phase gated solve; every lane converges on the true
-        tol in the f32 polish. Returns (post, n_iter_total, conv)."""
+        tol in the f32 polish. Returns (post, n_iter_total, conv).
+
+        NOTE (TPU, broadcast-W batched layouts): bf16-rounded GEMMs
+        (default matmul precision) limit-cycle the relative-r delta at
+        ~1e-3 in layouts where many lanes share one weight matrix
+        (docs/performance.md — measured at N=1000 round 3 and N=1e4
+        batch 768 round 4), so a tight tol never fires EVEN WITH f32
+        state. For such solves run this method (it traces on first call)
+        under ``jax.default_matmul_precision("highest")`` with
+        ``config.MATVEC_BF16 = False``, or stack per-lane weights. The
+        coarse phase-1 gate (5e-3) fires regardless."""
         from .. import config
         coarse = self.BF16_COARSE_TOL if coarse_tol is None else coarse_tol
         self._ensure_bf16_runs()
