@@ -647,12 +647,18 @@ VAE_F64_SEEDS = (3, 4, 5)
 
 def _gallery_fingerprint():
     """Hash of the gallery-solver protocols: invalidates the f64 aux cache
-    whenever any solver's source (seed, damping, N, model...) changes."""
+    whenever any solver's source (seed, damping, N, model...) changes —
+    including the shared helpers/constants the solvers close over (a
+    protocol edit inside build_nonlinear or a module constant must not
+    silently keep comparing against stale f64 fixed points)."""
     import hashlib
     import inspect
-    parts = [f"seeds={VAE_F64_SEEDS}"]
+    parts = [f"seeds={VAE_F64_SEEDS}", f"h5={VAE_H5}",
+             f"consts={N},{ALPHA},{RHO},{NOISE},{NL_N},{NL_ALPHA}"]
     for name in sorted(GALLERY_SOLVERS):
         parts.append(inspect.getsource(GALLERY_SOLVERS[name]))
+    for helper in (build, build_nonlinear):
+        parts.append(inspect.getsource(helper))
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 

@@ -370,3 +370,32 @@ def test_checkpoint_elastic_mesh_reshape(tmp_path):
         np.testing.assert_allclose(np.asarray(post_rest["x"]["r"]), r_full,
                                    rtol=1e-8, atol=1e-12,
                                    err_msg=str(mesh_b.shape))
+
+
+def test_solve_gated_bf16_under_ambient_state_bf16():
+    """Review regression: with a GLOBAL config.STATE_BF16 = True opt-in,
+    the gated solve's 'f32 polish' must still force f32 storage (a shared
+    jit executable would bake the ambient bf16 mode at trace time and the
+    true tol would never fire)."""
+    import tramp_tpu as tt
+    from tramp_tpu import config
+    from tramp_tpu.priors import GaussBernoulliPrior
+    from tramp_tpu.channels import LinearChannel, GaussianChannel
+
+    N = 200
+    rng = np.random.RandomState(0)
+    W = rng.randn(120, N) / np.sqrt(N)
+    teacher = (GaussBernoulliPrior(size=N, rho=0.3) @ tt.V(id="x") @
+               LinearChannel(jnp.asarray(W, jnp.float32)) @ tt.V(id="z") @
+               GaussianChannel(var=1e-2) @ tt.O(id="y")).to_model()
+    sample = teacher.sample(jax.random.PRNGKey(1))
+    student = teacher.to_observed(
+        {"y": jnp.asarray(sample["y"], jnp.float32)})
+    config.STATE_BF16 = True
+    try:
+        solver = EPSolver(student, damping=0.1, max_iter=500, tol=1e-6)
+        post, _, conv, info = solver.solve_gated_bf16(student)
+    finally:
+        config.STATE_BF16 = None
+    assert bool(conv), info
+    assert info["coarse_fired"] and info["n_iter_f32"] < 500

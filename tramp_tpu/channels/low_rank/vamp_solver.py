@@ -199,13 +199,16 @@ def se_matrix_factorization_kk(au, av, ax, model, K, alpha=1.0,
     q_v = init if q0_v is None else jnp.asarray(q0_v)
 
     def sp_step(q_u, q_v):
+        # Jacobi order, like the reference's iteration(): SP_qu reads the
+        # PRE-update self.qv (both locals are computed before either
+        # attribute is assigned, SE_matrix_factorization.py:86-95)
         if model == "UV":
             gamma_u = alpha * q_u / Delta
         else:
             gamma_u = q_v / Delta
         q_v_new = _sp_q(Sigma_v, lam_v, gamma_u)
         if model == "UV":
-            gamma_v = q_v_new / Delta
+            gamma_v = q_v / Delta
             q_u_new = _sp_q(Sigma_u, lam_u, gamma_v)
         else:
             q_u_new = q_v_new

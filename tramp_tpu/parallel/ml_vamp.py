@@ -239,19 +239,11 @@ class MLVAMPSolver:
                     m_in = msgs[l]
                     ax, bx = m_in["ba"], m_in["bb"]
                     if self._linear[l]:
-                        if l == L - 1 and self._skip_fwd_terminal:
-                            # pinned terminal: U^T (y/var) is loop-invariant
-                            # (XLA hoists it out of the while_loop)
-                            tx = f._mm(f.U, bx, transpose=True)
-                        else:
-                            tx = f._mm(f.U, bx, transpose=True)
+                        rz, vz, tx = _lin_bwd(f, az, bz, ax, bx, tzs[l])
+                        if not (l == L - 1 and self._skip_fwd_terminal):
                             txs[str(l)] = tx
-                        k = f.s.shape[0]
-                        resolvent = 1.0 / (az + ax * f.spectrum)
-                        m = resolvent * (tzs[l] + jnp.zeros_like(
-                            tzs[l]).at[:k].set(f.s * tx[:k]))
-                        rz = f._mm(f.V, m)
-                        vz = f.compute_backward_variance(az, ax)
+                        # (skip case: tx = U^T (y/var) is loop-invariant —
+                        # XLA hoists it out of the while_loop; no carry)
                         a_new, b_new = compute_ab_new(rz, vz, az, bz)
                     else:
                         a_new, b_new = f.compute_backward_message(
@@ -421,7 +413,11 @@ def dispatch_solver(model, damping=None, tol=1e-6, max_iter=200, **kw):
     - anything else (trees, SIMO/MISO, multi-edge) -> the generic EPSolver.
 
     Returns the solver instance; all three share the
-    ``solve(model) -> (post, n_iter)`` surface.
+    ``solve(model) -> (post, n_iter)`` surface. Extra ``**kw`` are
+    forwarded to whichever solver is selected — a kwarg the selected
+    solver does not accept raises TypeError (loud beats silently
+    dropping e.g. ``pin_terminal`` or ``rollback_increase`` when the
+    dispatch routes elsewhere than expected).
     """
     from .vamp_glm import SpectralVAMPSolver
     from .solver import EPSolver
@@ -431,9 +427,9 @@ def dispatch_solver(model, damping=None, tol=1e-6, max_iter=200, **kw):
             and _is_spectral(factors[1])
             and isinstance(factors[2], GaussianLikelihood)):
         return SpectralVAMPSolver(model, damping=damping, tol=tol,
-                                  max_iter=max_iter)
+                                  max_iter=max_iter, **kw)
     if factors is not None:
         return MLVAMPSolver(model, damping=damping, tol=tol,
-                            max_iter=max_iter)
+                            max_iter=max_iter, **kw)
     return EPSolver(model, damping=0.1 if damping is None else damping,
                     tol=tol, max_iter=max_iter, **kw)

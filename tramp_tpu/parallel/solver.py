@@ -113,15 +113,23 @@ class _Solver:
     BF16_COARSE_TOL = 5e-3
 
     def _ensure_bf16_runs(self):
-        """Jitted variants whose sweeps STORE the message state bfloat16.
-        The engine's _store/_load consult config.state_bf16() at trace
-        time; tracing happens at the first call, which solve_*_gated_bf16
-        always make inside the config override — so these executables bake
-        in bf16 storage regardless of the ambient config afterwards."""
+        """Jitted variants whose sweeps STORE the message state bfloat16,
+        plus f32-forced twins for the polish phase. The engine's
+        _store/_load consult config.state_bf16() at trace time; tracing
+        happens at the first call, which solve_*_gated_bf16 always make
+        inside the matching config override — so each executable bakes in
+        its storage mode regardless of the ambient config afterwards.
+        (The polish must NOT reuse _jit_single/_jit_batch_state: those
+        bake the AMBIENT mode, so with a global STATE_BF16 = True opt-in
+        the 'f32 polish' would silently sweep in bf16 and the true tol
+        would never fire.)"""
         if getattr(self, "_jit_bf16_single", None) is None:
             self._jit_bf16_single = jax.jit(self._run)
             self._jit_bf16_batch = jax.jit(
                 jax.vmap(self._run, in_axes=(0, None, None, None)))
+            self._jit_f32_single = jax.jit(self._run)
+            self._jit_f32_batch_state = jax.jit(
+                jax.vmap(self._run, in_axes=(0, 0, None, None)))
 
     @staticmethod
     def _upcast_state(state):
@@ -156,9 +164,13 @@ class _Solver:
         finally:
             config.STATE_BF16 = prev
         state1 = self._upcast_state(state1)
-        post, _, n2, conv2 = self._jit_single(
-            model, state1, jnp.asarray(self.max_iter),
-            jnp.asarray(self.tol))
+        config.STATE_BF16 = False
+        try:
+            post, _, n2, conv2 = self._jit_f32_single(
+                model, state1, jnp.asarray(self.max_iter),
+                jnp.asarray(self.tol))
+        finally:
+            config.STATE_BF16 = prev
         return (post, int(n1) + int(n2), conv2,
                 dict(n_iter_bf16=int(n1), n_iter_f32=int(n2),
                      coarse_fired=bool(conv1)))
@@ -190,9 +202,13 @@ class _Solver:
         finally:
             config.STATE_BF16 = prev
         state1 = self._upcast_state(state1)
-        post, _, n2, conv = self._jit_batch_state(
-            stacked_model, state1, jnp.asarray(self.max_iter),
-            jnp.asarray(self.tol))
+        config.STATE_BF16 = False
+        try:
+            post, _, n2, conv = self._jit_f32_batch_state(
+                stacked_model, state1, jnp.asarray(self.max_iter),
+                jnp.asarray(self.tol))
+        finally:
+            config.STATE_BF16 = prev
         return post, n1 + n2, conv
 
     def solve(self, model, initializer=None):
