@@ -173,6 +173,21 @@ def test_se_kk_matches_reference_k2():
     np.testing.assert_allclose(np.asarray(mse_v), ref.MSE_v,
                                rtol=1e-4, atol=1e-8)
 
+    # per-ITERATION trajectory is bit-exact (same Jacobi order: SP_qu
+    # reads the pre-update q_v, reference iteration() l:86-95)
+    np.random.seed(4)
+    ref2 = SE_matrix_factorization(K=K, N=N, M=M, model="UV",
+                                   au_av=[au, av], ax=ax)
+    ref2.initialization()
+    for t in range(1, 5):
+        ref2.iteration()
+        mu_t, _ = se_matrix_factorization_kk(
+            au=au, av=av, ax=ax, model="UV", K=K, alpha=M / N,
+            q0_u=jnp.asarray(q0_u), q0_v=jnp.asarray(q0_v),
+            max_iter=t, min_iter=t + 1, tol=0.0)
+        qu_t = (1.0 / au) * np.eye(K) - np.asarray(mu_t)
+        np.testing.assert_array_equal(qu_t, ref2.qu, err_msg=f"iter {t}")
+
 
 def test_se_kk_reduces_to_scalar_zero_mean():
     """With zero prior means and isotropic priors the KxK recursion is
