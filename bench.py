@@ -143,9 +143,11 @@ ACCURACY_BOUNDS = {
     "nonlinear.mlvamp_v_rel_err_vs_ep_f32": 2e-2,
     "nonlinear.mlvamp_mse_rel_err_vs_ep_f32": 2e-2,
     # two-phase gated solve: every lane converges on the TRUE tol in the
-    # f32 polish, and the fixed point agrees with the all-f32 solve
+    # f32 polish, and the fixed point agrees with the all-f32 solve AND
+    # with the reference-default r-criterion/highest-precision solve
     "gated.unconv_frac": 0.01,
     "gated.v_rel_err_vs_f32": 5e-3,
+    "gated.v_rel_err_vs_r_criterion": 1e-3,
 }
 
 
@@ -311,21 +313,24 @@ def solve_flagship_vamp(dtype):
 
 
 def bench_gated(student, teacher, batch):
-    """Convergence-GATED throughput mode (VERDICT r3 item 3): two-phase
-    solve (bf16-state sweeps to a coarse delta above the bf16 limit-cycle
-    floor, then f32 polish to tol=1e-6, parallel/solver.py
-    solve_batch_gated_bf16) vs the f32-state gated solve, both batch-768
-    time-to-solution on the flagship GLM. Also asserts the gated fixed
-    point agrees with the f32 one and that the true tol actually fired.
+    """Convergence-GATED throughput mode (VERDICT r3 item 3), batch-768
+    time-to-solution on the flagship GLM.
 
-    Precision: the CONVERGENT phases (the f32 baseline and the polish)
-    run at matmul precision "highest" with bf16 weight streaming off —
-    measured on this runtime, bf16-rounded GEMMs limit-cycle the
-    relative-r delta at ~1e-3 in broadcast-W batched layouts (the
-    round-3 N=1000 finding, reproduced at N=1e4 batch 768: tol=1e-6
-    never fires in 300 sweeps at default precision even with f32 state,
-    while the single-instance accuracy block converges in ~44). The bf16
-    throughput phase needs no gate and keeps default precision."""
+    Stopping criterion: kind "v" (|delta| of the mean posterior variance,
+    the reference EarlyStopping rule). Its SIGNED scalar-mean form
+    cancels per-element GEMM/state rounding noise, so tol=1e-6 gating
+    stays live at DEFAULT matmul precision in the broadcast-W batched
+    layout — where the max-relative-r criterion limit-cycles at the
+    rounding floor and needs matmul precision "highest" (4.8x/sweep;
+    measured both ways, the r/highest baseline is recorded as context).
+
+    Compared configurations (all converge on tol=1e-6):
+      A  f32 state, single phase, kind v, default precision;
+      B  two-phase gated (solve_batch_gated_bf16 semantics): bf16-state
+         sweeps to the 1e-5 coarse v-gate, one upcast, f32 polish;
+      C  context: f32 state, kind r (reference EP default criterion) at
+         matmul precision "highest" with exact-f32 weight streaming —
+         the only configuration in which the r-gate fires here."""
     import contextlib
     import numpy as np
     import jax
@@ -333,7 +338,8 @@ def bench_gated(student, teacher, batch):
     from tramp_tpu import config as tt_config
     from tramp_tpu.parallel import EPSolver
 
-    solver = EPSolver(student, damping=0.1, max_iter=300, tol=1e-6)
+    solver = EPSolver(student, damping=0.1, max_iter=300, tol=1e-6,
+                      stop_kind="v")
     dtype = student.factors[-1].y.dtype
     keys = jax.random.split(jax.random.PRNGKey(3), batch)
     ys = jax.jit(jax.vmap(
@@ -341,37 +347,23 @@ def bench_gated(student, teacher, batch):
     model_in, in_axes_model = _batched_model(student, ys)
     run = solver._run
     mi = jnp.asarray(solver.max_iter)
+    tol = jnp.asarray(solver.tol)
 
-    @contextlib.contextmanager
-    def exact_gemms():
-        prev = tt_config.MATVEC_BF16
-        tt_config.MATVEC_BF16 = False
-        try:
-            with jax.default_matmul_precision("highest"):
-                yield
-        finally:
-            tt_config.MATVEC_BF16 = prev
-
-    # A: f32-state gated baseline (the only convergence-gated batched
-    # option before this round), at the convergent precision
+    # A: f32-state single-phase gated, kind v, default precision
     jit_f32 = jax.jit(jax.vmap(run, in_axes=(in_axes_model, None, None,
                                              None)))
-    with exact_gemms():
-        state0 = solver.init_state()
-        out = jit_f32(model_in, state0, jnp.asarray(5), jnp.asarray(0.0))
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        post_f, _, it_f, conv_f = jit_f32(model_in, state0, mi,
-                                          jnp.asarray(solver.tol))
-        jax.block_until_ready(post_f)
-        t_f32 = time.perf_counter() - t0
+    state0 = solver.init_state()
+    out = jit_f32(model_in, state0, jnp.asarray(5), jnp.asarray(0.0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    post_f, _, it_f, conv_f = jit_f32(model_in, state0, mi, tol)
+    jax.block_until_ready(post_f)
+    t_f32 = time.perf_counter() - t0
 
-    # B phase 1: bf16 state, default precision (the throughput mode; the
-    # coarse 5e-3 gate sits above both the bf16-state floor and the
-    # broadcast-W GEMM-rounding floor, so it fires regardless)
+    # B phase 1: bf16 state to the coarse v-gate, default precision
     jit_bf16 = jax.jit(jax.vmap(run, in_axes=(in_axes_model, None, None,
                                               None)))
-    coarse = jnp.asarray(EPSolver.BF16_COARSE_TOL)
+    coarse = jnp.asarray(EPSolver.BF16_COARSE_TOL_V)
     prev = tt_config.STATE_BF16
     tt_config.STATE_BF16 = True
     try:
@@ -385,38 +377,70 @@ def bench_gated(student, teacher, batch):
     finally:
         tt_config.STATE_BF16 = prev
     state1 = EPSolver._upcast_state(state1)
-    # B phase 2: f32 polish at the convergent precision
+    # B phase 2: f32 polish, default precision
     jit_f32_state = jax.jit(jax.vmap(run, in_axes=(in_axes_model, 0, None,
                                                    None)))
-    with exact_gemms():
-        out = jit_f32_state(model_in, state1, jnp.asarray(1),
-                            jnp.asarray(0.0))
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        post_g, _, n2, conv_g = jit_f32_state(model_in, state1, mi,
-                                              jnp.asarray(solver.tol))
-        jax.block_until_ready(post_g)
-        t_phase2 = time.perf_counter() - t0
+    out = jit_f32_state(model_in, state1, jnp.asarray(1),
+                        jnp.asarray(0.0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    post_g, _, n2, conv_g = jit_f32_state(model_in, state1, mi, tol)
+    jax.block_until_ready(post_g)
+    t_phase2 = time.perf_counter() - t0
     t_gated = t_phase1 + t_phase2
+
+    # C (context): the reference-default r criterion only fires at exact
+    # GEMM precision in this layout — record its cost for comparison
+    solver_r = EPSolver(student, damping=0.1, max_iter=300, tol=1e-6,
+                        stop_kind="r")
+    jit_r = jax.jit(jax.vmap(solver_r._run,
+                             in_axes=(in_axes_model, None, None, None)))
+    prev_mv = tt_config.MATVEC_BF16
+    tt_config.MATVEC_BF16 = False
+    try:
+        with jax.default_matmul_precision("highest"):
+            state0r = solver_r.init_state()
+            out = jit_r(model_in, state0r, jnp.asarray(5),
+                        jnp.asarray(0.0))
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            post_r, _, it_r, conv_r = jit_r(model_in, state0r, mi, tol)
+            jax.block_until_ready(post_r)
+            t_r_highest = time.perf_counter() - t0
+    finally:
+        tt_config.MATVEC_BF16 = prev_mv
 
     v_f = np.asarray(post_f["x"]["v"], np.float64).mean(axis=-1)
     v_g = np.asarray(post_g["x"]["v"], np.float64).mean(axis=-1)
+    v_r = np.asarray(post_r["x"]["v"], np.float64).mean(axis=-1)
     return {
+        # value = the best convergence-gated configuration (single-phase
+        # f32, kind v, default precision); the two-phase bf16 variant is
+        # recorded alongside — at this scale it measures slightly NEGATIVE
+        # under the v criterion (its extra sweeps + second dispatch
+        # outweigh the bf16 bandwidth win) while it wins 1.13x under the
+        # r criterion where every sweep costs 4.8x (docs/performance.md)
         "metric": "gated_solve_batch768_time_to_solution_s",
-        "value": round(t_gated, 4),
+        "value": round(t_f32, 4),
         "unit": "s",
-        "t_f32_gated_s": round(t_f32, 4),
-        "speedup_vs_f32_gated": round(t_f32 / t_gated, 3),
+        "stop_kind": "v",
+        "t_two_phase_bf16_s": round(t_gated, 4),
+        "two_phase_speedup_vs_f32": round(t_f32 / t_gated, 3),
+        "t_r_highest_gated_s": round(t_r_highest, 4),
+        "speedup_vs_r_highest": round(t_r_highest / t_f32, 3),
         "t_phase1_bf16_s": round(t_phase1, 4),
         "t_phase2_f32_s": round(t_phase2, 4),
         "n_iter_bf16_mean": float(np.asarray(n1).mean()),
         "n_iter_f32_mean": float(np.asarray(n2).mean()),
-        "coarse_tol": float(EPSolver.BF16_COARSE_TOL),
+        "coarse_tol": float(EPSolver.BF16_COARSE_TOL_V),
         "coarse_fired_frac": float(np.asarray(c1).mean()),
         "unconv_frac": float(1.0 - np.asarray(conv_g).mean()),
         "unconv_frac_f32": float(1.0 - np.asarray(conv_f).mean()),
+        "unconv_frac_r_highest": float(1.0 - np.asarray(conv_r).mean()),
         "v_rel_err_vs_f32": float(np.abs(v_g - v_f).max()
                                   / np.abs(v_f).max()),
+        "v_rel_err_vs_r_criterion": float(
+            np.abs(v_g - v_r).max() / np.abs(v_r).max()),
     }
 
 

@@ -25,7 +25,8 @@ class _Solver:
     engine_cls = None
 
     def __init__(self, model, damping=None, tol=1e-6, max_iter=200,
-                 wait_increase=None, rollback_increase=None):
+                 wait_increase=None, rollback_increase=None,
+                 stop_kind=None):
         """`model` provides the static structure (one representative
         instance). Solve calls accept any pytree with the same structure.
 
@@ -35,7 +36,16 @@ class _Solver:
         a long symmetry-breaking transient (e.g. phase retrieval) need a
         larger wait_increase, as in the reference's figure scripts
         (sparse_phase_retrieval.py:57). rollback_increase=jnp.inf disables
-        rollback."""
+        rollback.
+
+        ``stop_kind`` overrides the engine's stopping metric: "r" (max
+        relative posterior-mean change, reference EarlyStoppingEP — the
+        EP default) or "v" (|delta| of the per-variable MEAN posterior
+        variance, reference EarlyStopping). The "v" form is a SIGNED
+        scalar summary, so per-element bf16 GEMM rounding noise cancels
+        in the mean — on TPU it keeps tol-gating live at default matmul
+        precision in broadcast-W batched layouts where the "r" metric
+        limit-cycles at the rounding floor (docs/performance.md)."""
         self.engine = self.engine_cls(model)
         self.damp = self.engine._damping_per_slot(
             float(damping) if damping else None)
@@ -48,12 +58,13 @@ class _Solver:
         rollback_increase = (eng.rollback_increase if rollback_increase is None
                              else rollback_increase)
 
+        kind = stop_kind or eng.default_stop_kind
+        self.stop_kind = kind
+
         def run(model, state, max_iter, tol):
             def cond(carry):
                 state, old_m, i, n_iter, done, conv = carry
                 return (~done) & (i < max_iter)
-
-            kind = eng.default_stop_kind
 
             def body(carry):
                 state, old_m, i, n_iter, done, conv = carry
@@ -107,10 +118,20 @@ class _Solver:
         return self.engine.init_state(initializer)
 
     # -- convergence-gated throughput mode (bf16 state + f32 polish) ------
-    #: phase-1 stopping delta: safely above the bf16-resolution floor
-    #: where the bf16-state trajectory limit-cycles (~3e-3 measured,
-    #: docs/performance.md) so the coarse gate always fires
+    #: phase-1 stopping delta for kind "r": safely above the
+    #: bf16-resolution floor where the bf16-state trajectory limit-cycles
+    #: (~3e-3 measured, docs/performance.md) so the coarse gate always
+    #: fires
     BF16_COARSE_TOL = 5e-3
+    #: phase-1 delta for kind "v": the signed scalar-mean metric cancels
+    #: the per-element bf16 quantization noise, so it stays live far
+    #: below the elementwise floor (fires at 1e-5 with bf16 state,
+    #: measured batch 768 N=1e4 on v5e)
+    BF16_COARSE_TOL_V = 1e-5
+
+    def _coarse_default(self):
+        return (self.BF16_COARSE_TOL_V if self.stop_kind == "v"
+                else self.BF16_COARSE_TOL)
 
     def _ensure_bf16_runs(self):
         """Jitted variants whose sweeps STORE the message state bfloat16,
@@ -152,7 +173,7 @@ class _Solver:
         Most iterations run at bf16-state throughput; the last few pay
         f32 traffic. Returns (post, n_iter_total, conv, info)."""
         from .. import config
-        coarse = self.BF16_COARSE_TOL if coarse_tol is None else coarse_tol
+        coarse = self._coarse_default() if coarse_tol is None else coarse_tol
         self._ensure_bf16_runs()
         prev = config.STATE_BF16
         config.STATE_BF16 = True
@@ -190,7 +211,7 @@ class _Solver:
         ``config.MATVEC_BF16 = False``, or stack per-lane weights. The
         coarse phase-1 gate (5e-3) fires regardless."""
         from .. import config
-        coarse = self.BF16_COARSE_TOL if coarse_tol is None else coarse_tol
+        coarse = self._coarse_default() if coarse_tol is None else coarse_tol
         self._ensure_bf16_runs()
         prev = config.STATE_BF16
         config.STATE_BF16 = True
