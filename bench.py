@@ -840,9 +840,14 @@ def _ensemble_sweep_impl():
         students_list = [
             m.to_observed({"y": jnp.zeros(M, jnp.float32)}) for m in models]
         # 500: at 10^4 seeds/point a ~1e-4 tail of lanes needs >300
-        # sweeps; the cost is straggler-only (converged lanes freeze)
+        # sweeps; the cost is straggler-only (converged lanes freeze).
+        # stop_kind="v" (the reference EarlyStopping rule, |d mean v| <
+        # tol): its signed scalar-mean form both survives GEMM rounding
+        # and fires in ~0.6x the sweeps of the relative-r rule at the
+        # same tol — measured 2.3x block throughput with an unchanged
+        # EP-tracks-SE deviation (docs/performance.md)
         solver = EPSolver(students_list[0], damping=0.1, max_iter=500,
-                          tol=1e-6)
+                          tol=1e-6, stop_kind="v")
 
         def sample_batch(stacked_teacher, keys):
             "(point, seed) samples: x0 (P,S,N), y (P,S,M)."
