@@ -171,7 +171,14 @@ class _Solver:
         floor, so it always fires), phase 2 upcasts the state once and
         polishes to the TRUE ``self.tol`` with warm-started f32 sweeps.
         Most iterations run at bf16-state throughput; the last few pay
-        f32 traffic. Returns (post, n_iter_total, conv, info)."""
+        f32 traffic. Returns (post, n_iter_total, conv, info).
+
+        The floor statement above is for the default kind "r" metric.
+        With ``stop_kind="v"`` (mean-posterior-variance delta, reference
+        EarlyStopping) the coarse gate defaults to 1e-5 — the signed
+        scalar mean cancels the bf16 quantization noise; measured, the
+        single-phase f32 v-gated solve then beats this two-phase split
+        outright at default GEMM precision (docs/performance.md)."""
         from .. import config
         coarse = self._coarse_default() if coarse_tol is None else coarse_tol
         self._ensure_bf16_runs()
@@ -208,8 +215,12 @@ class _Solver:
         batch 768 round 4), so a tight tol never fires EVEN WITH f32
         state. For such solves run this method (it traces on first call)
         under ``jax.default_matmul_precision("highest")`` with
-        ``config.MATVEC_BF16 = False``, or stack per-lane weights. The
-        coarse phase-1 gate (5e-3) fires regardless."""
+        ``config.MATVEC_BF16 = False``, stack per-lane weights, or —
+        usually best — construct the solver with ``stop_kind="v"``: that
+        criterion's scalar-mean metric cancels the rounding noise and
+        gates at default precision (measured 4.8x faster,
+        docs/performance.md). The kind-aware coarse phase-1 gate fires
+        regardless."""
         from .. import config
         coarse = self._coarse_default() if coarse_tol is None else coarse_tol
         self._ensure_bf16_runs()
