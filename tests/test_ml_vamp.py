@@ -188,3 +188,22 @@ def test_dispatch_routes():
                 ) @ MILeafVariable(id="z", n_prev=2)
             )).to_model().to_observed({"y": jnp.asarray(y)})
     assert isinstance(dispatch_solver(tree), EPSolver)
+
+
+def test_minimal_denoising_chain():
+    "Smallest chain (prior @ GaussianLikelihood, L=1) through dispatch."
+    from tramp_tpu.channels import GaussianChannel as GC
+
+    N = 300
+    teacher = (GaussBernoulliPrior(size=N, rho=0.3) @ tt.V(id="x") @
+               GC(var=0.05) @ tt.O(id="y")).to_model()
+    s = teacher.sample(jax.random.PRNGKey(0))
+    student = teacher.to_observed({"y": s["y"]})
+    solver = dispatch_solver(student, damping=0.1, max_iter=200, tol=1e-10)
+    assert isinstance(solver, MLVAMPSolver)
+    post, _ = solver.solve(student)
+    post_ep, _ = EPSolver(student, damping=0.1, max_iter=200,
+                          tol=1e-10).solve(student)
+    np.testing.assert_allclose(np.asarray(post["x"]["r"]),
+                               np.asarray(post_ep["x"]["r"]),
+                               rtol=1e-6, atol=1e-9)
