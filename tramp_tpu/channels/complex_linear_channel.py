@@ -17,7 +17,7 @@ from ..ops.dft import pack_const, pair_matmul
 class ComplexLinearChannel(Channel):
 
     _data_fields = ("W", "U", "s", "V", "spectrum", "singular")
-    _meta_fields = ("Nx", "Nz", "rank", "alpha", "name")
+    _meta_fields = ("Nx", "Nz", "k", "rank", "alpha", "name")
 
     def __init__(self, W, name="W", rank=None, svd=None):
         W = np.asarray(W)
@@ -26,11 +26,15 @@ class ComplexLinearChannel(Channel):
         if svd is not None:
             U, s, Vh = (np.asarray(a) for a in svd)
         else:
-            U, s, Vh = np.linalg.svd(W, full_matrices=True)
-        self.W = pack_const(W)          # (2, Nx, Nz)
-        self.U = pack_const(U)          # (2, Nx, Nx)
-        self.V = pack_const(Vh.conj().T)  # (2, Nz, Nz)
+            U, s, Vh = np.linalg.svd(W, full_matrices=False)
         k = min(self.Nx, self.Nz)
+        self.k = k
+        # THIN factors only, as in LinearChannel: complement modes (s=0,
+        # resolvent 1/az) are restored via V_perp V_perp^H = I - V_k V_k^H
+        self.W = pack_const(W)                    # (2, Nx, Nz)
+        self.U = pack_const(U[:, :k])             # (2, Nx, k)
+        self.V = pack_const(Vh[:k].conj().T)      # (2, Nz, k)
+        s = s[:k]
         self.s = jnp.asarray(np.real(s))
         spectrum = np.zeros(self.Nz)
         spectrum[:k] = np.real(s) ** 2
@@ -55,25 +59,25 @@ class ComplexLinearChannel(Channel):
         return jnp.where(ax == 0, 0.0, n_eff)
 
     def _mean_svd(self, az, bz, ax, bx):
-        "Packed rz in the SVD basis via the resolvent 1/(az + ax s^2)."
-        k = self.s.shape[0]
-        bx_svd = pair_matmul(self.U, bx, adjoint=True)   # (2, Nx)
-        bz_svd = pair_matmul(self.V, bz, adjoint=True)   # (2, Nz)
-        resolvent = 1.0 / (az + ax * self.spectrum)
-        Stbx = jnp.zeros_like(bz_svd).at[:, :k].set(self.s * bx_svd[:, :k])
-        return resolvent * (bz_svd + Stbx)
+        """k-length packed spectral mean m = res_k (V^H bz + s U^H bx),
+        plus t = V^H bz for the complement term (thin factors, as in
+        LinearChannel._mean_svd)."""
+        u = pair_matmul(self.U, bx, adjoint=True)   # (2, k)
+        t = pair_matmul(self.V, bz, adjoint=True)   # (2, k)
+        resolvent = 1.0 / (az + ax * self.s**2)
+        return resolvent * (t + self.s * u), t
 
     def compute_backward_mean(self, az, bz, ax, bx):
-        return pair_matmul(self.V, self._mean_svd(az, bz, ax, bx))
+        m, t = self._mean_svd(az, bz, ax, bx)
+        if self.k == self.Nz:
+            return pair_matmul(self.V, m)
+        # complement modes (s=0): V_perp V_perp^H bz / az = (bz - V t)/az
+        return bz / az + pair_matmul(self.V, m - t / az)
 
     def compute_forward_mean(self, az, bz, ax, bx):
-        # rx = W rz = U (s * rz_svd), as in LinearChannel.compute_forward_mean
-        rz_svd = self._mean_svd(az, bz, ax, bx)
-        k = self.s.shape[0]
-        rx_svd = self.s * rz_svd[:, :k]
-        if self.Nx > k:
-            rx_svd = jnp.pad(rx_svd, ((0, 0), (0, self.Nx - k)))
-        return pair_matmul(self.U, rx_svd)
+        # rx = W rz = U (s * m): only the k signal modes contribute
+        m, _ = self._mean_svd(az, bz, ax, bx)
+        return pair_matmul(self.U, self.s * m)
 
     def compute_backward_variance(self, az, ax):
         n_eff = self.compute_n_eff(az, ax)

@@ -19,21 +19,28 @@ class LinearChannel(Channel):
     backward mean l:69-83, n_eff spectral sums l:58-67)."""
 
     _data_fields = ("W", "U", "s", "V", "spectrum", "singular")
-    _meta_fields = ("Nx", "Nz", "rank", "alpha", "name")
+    _meta_fields = ("Nx", "Nz", "k", "rank", "alpha", "name")
 
     def __init__(self, W, name="W", rank=None, svd=None):
         W = jnp.asarray(W)
         self.W = W
         self.Nx, self.Nz = W.shape
         self.name = name
+        k = min(self.Nx, self.Nz)
+        self.k = k
         if svd is not None:
             U, s, Vt = svd  # precomputed (e.g. on host in float64)
         else:
-            U, s, Vt = jnp.linalg.svd(W, full_matrices=True)
-        self.U = U          # (Nx, Nx)
-        self.V = Vt.T       # (Nz, Nz)
-        k = min(self.Nx, self.Nz)
-        self.s = s          # (k,)
+            U, s, Vt = jnp.linalg.svd(W, full_matrices=False)
+        # THIN factors only (Nx,k) / (Nz,k): the orthogonal complements
+        # never carry signal — modes beyond k see resolvent 1/az, which the
+        # mean computations restore via the projector identity
+        # V_perp V_perp^T = I - V_k V_k^T (see compute_backward_mean). At
+        # alpha=1/2 this halves the per-sweep GEMM MACs AND the U/V weight
+        # HBM traffic vs the full square factors.
+        self.U = jnp.asarray(U)[:, :k]   # (Nx, k)
+        self.V = jnp.asarray(Vt)[:k].T   # (Nz, k)
+        self.s = jnp.asarray(s)[:k]      # (k,)
         # spectrum of W^T W, length Nz (padded with zeros)
         self.spectrum = jnp.zeros(self.Nz).at[:k].set(s**2)
         self.rank = rank if rank is not None else int(
@@ -76,33 +83,33 @@ class LinearChannel(Channel):
             preferred_element_type=jnp.float32)
 
     def _mean_svd(self, az, bz, ax, bx):
-        "rz in the SVD basis via the resolvent 1/(az + ax s^2). Ref l:69-83."
-        k = self.s.shape[0]
-        bx_svd = self._mm(self.U, bx, transpose=True)   # (Nx,)
-        bz_svd = self._mm(self.V, bz, transpose=True)   # (Nz,)
-        resolvent = 1.0 / (az + ax * self.spectrum)
+        """k-length spectral mean m = res_k (V^T bz + s U^T bx) with
+        res_k = 1/(az + ax s^2), plus t = V^T bz (reused by the complement
+        term of the backward mean). Ref linear_channel.py l:69-83, but on
+        the THIN factors only — complement modes are handled analytically."""
+        t = self._mm(self.V, bz, transpose=True)   # (k,) or (k, B)
+        u = self._mm(self.U, bx, transpose=True)   # (k,) or (k, B)
+        res = 1.0 / (az + ax * self.s**2)
+        s = self.s
         if bz.ndim > 1:
-            resolvent = resolvent[:, None]
-        Stbx = jnp.zeros_like(bz_svd).at[:k].set(
-            self.s * bx_svd[:k] if bx.ndim == 1
-            else (self.s[:, None] * bx_svd[:k]))
-        return resolvent * (bz_svd + Stbx)
+            res = res[..., None]
+            s = s[:, None]
+        return res * (t + s * u), t
 
     def compute_backward_mean(self, az, bz, ax, bx):
-        return self._mm(self.V, self._mean_svd(az, bz, ax, bx))
+        m, t = self._mean_svd(az, bz, ax, bx)
+        if self.k == self.Nz:
+            return self._mm(self.V, m)
+        # complement modes (s=0) have resolvent 1/az:
+        #   V_perp V_perp^T bz / az = (bz - V_k V_k^T bz) / az
+        return bz / az + self._mm(self.V, m - t / az)
 
     def compute_forward_mean(self, az, bz, ax, bx):
-        # rx = W rz = U S V^T V rz_svd = U (s * rz_svd): one (Nx, Nx)
-        # matmul instead of W @ (V @ rz_svd)'s Nz^2 + Nx*Nz — the EP sweep's
-        # forward pass drops ~25% of its FLOPs at alpha=0.5
-        rz_svd = self._mean_svd(az, bz, ax, bx)
-        k = self.s.shape[0]
-        rx_svd = (self.s * rz_svd[:k] if bz.ndim == 1
-                  else self.s[:, None] * rz_svd[:k])
-        if self.Nx > k:
-            pad = [(0, self.Nx - k)] + [(0, 0)] * (rx_svd.ndim - 1)
-            rx_svd = jnp.pad(rx_svd, pad)
-        return self._mm(self.U, rx_svd)
+        # rx = W rz = U (s * m): only the k signal modes contribute — one
+        # (Nx, k) matmul instead of W @ (V @ rz_svd)'s Nz^2 + Nx*Nz
+        m, _ = self._mean_svd(az, bz, ax, bx)
+        s = self.s[:, None] if bz.ndim > 1 else self.s
+        return self._mm(self.U, s * m)
 
     def compute_backward_variance(self, az, ax):
         az = jnp.maximum(1e-11, az)

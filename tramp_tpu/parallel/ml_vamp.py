@@ -154,28 +154,27 @@ class MLVAMPSolver:
 
         def _lin_fwd(lin, az, bz, ax, bx, tx):
             """Linear forward posterior using the carried spectral image
-            tx = U^T bx; returns (rx, vx, tz) with tz = V^T bz for the
-            backward pass. Mirrors LinearChannel._mean_svd exactly."""
-            k = lin.s.shape[0]
-            tz = lin._mm(lin.V, bz, transpose=True)
-            resolvent = 1.0 / (az + ax * lin.spectrum)
-            m = resolvent * (tz + jnp.zeros_like(tz).at[:k].set(
-                lin.s * tx[:k]))
-            rx_svd = lin.s * m[:k]
-            if lin.Nx > k:
-                rx_svd = jnp.pad(rx_svd, (0, lin.Nx - k))
-            rx = lin._mm(lin.U, rx_svd)
+            tx = U^T bx; returns (rx, vx, tz) with tz = V^T bz (k-length)
+            for the backward pass. Mirrors LinearChannel._mean_svd (thin
+            factors; only the k signal modes reach x-space)."""
+            tz = lin._mm(lin.V, bz, transpose=True)        # (k,)
+            resolvent = 1.0 / (az + ax * lin.s**2)
+            m = resolvent * (tz + lin.s * tx)
+            rx = lin._mm(lin.U, lin.s * m)
             vx = lin.compute_forward_variance(az, ax)
             return rx, vx, tz
 
         def _lin_bwd(lin, az, bz, ax, bx, tz):
             "Linear backward posterior; returns (rz, vz, tx) fresh."
-            k = lin.s.shape[0]
-            tx = lin._mm(lin.U, bx, transpose=True)
-            resolvent = 1.0 / (az + ax * lin.spectrum)
-            m = resolvent * (tz + jnp.zeros_like(tz).at[:k].set(
-                lin.s * tx[:k]))
-            rz = lin._mm(lin.V, m)
+            tx = lin._mm(lin.U, bx, transpose=True)        # (k,)
+            resolvent = 1.0 / (az + ax * lin.s**2)
+            m = resolvent * (tz + lin.s * tx)
+            if lin.k == lin.Nz:
+                rz = lin._mm(lin.V, m)
+            else:
+                # complement modes (s=0, resolvent 1/az):
+                # V_perp V_perp^T bz / az = (bz - V_k tz) / az
+                rz = bz / az + lin._mm(lin.V, m - tz / az)
             vz = lin.compute_backward_variance(az, ax)
             return rz, vz, tx
 
@@ -291,7 +290,7 @@ class MLVAMPSolver:
             for l, f in enumerate(fresh(model)):
                 if self._linear[l] and not (
                         l == L - 1 and self._skip_fwd_terminal):
-                    txs[str(l)] = jnp.zeros(f.Nx, dtype)
+                    txs[str(l)] = jnp.zeros(f.k, dtype)
             carry = (tuple(msgs), txs)
             # harmonize: broadcast the scalar a-inits to the fixed-point
             # shapes the sweep emits (shape-stable while_loop carry)
@@ -365,16 +364,11 @@ class MLVAMPSolver:
             m_out = dict(msgs[L - 1])
             az, bz = m_in["fa"], m_in["fb"]
             ax, bx = m_out["ba"], m_out["bb"]
-            k = lin.s.shape[0]
-            tz = lin._mm(lin.V, bz, transpose=True)
-            tx = lin._mm(lin.U, bx, transpose=True)
-            resolvent = 1.0 / (az + ax * lin.spectrum)
-            m = resolvent * (tz + jnp.zeros_like(tz).at[:k].set(
-                lin.s * tx[:k]))
-            rx_svd = lin.s * m[:k]
-            if lin.Nx > k:
-                rx_svd = jnp.pad(rx_svd, (0, lin.Nx - k))
-            rx = lin._mm(lin.U, rx_svd)
+            tz = lin._mm(lin.V, bz, transpose=True)        # (k,)
+            tx = lin._mm(lin.U, bx, transpose=True)        # (k,)
+            resolvent = 1.0 / (az + ax * lin.s**2)
+            m = resolvent * (tz + lin.s * tx)
+            rx = lin._mm(lin.U, lin.s * m)
             vx = lin.compute_forward_variance(az, ax)
             a_new, b_new = compute_ab_new(rx, vx, ax, bx)
             m_out["fa"], m_out["fb"] = a_new, b_new

@@ -69,14 +69,12 @@ class SpectralVAMPSolver:
         damp = self.damping
 
         def spectral(model):
-            "Loop-invariant spectral quantities."
+            "Loop-invariant spectral quantities (thin k-length vectors)."
             prior, lin, lik = _find_glm_parts(model)
             Delta = lik.var
-            # S U^T y / Delta in the V-basis (length Nz, padded)
-            k = lin.s.shape[0]
-            uy = lin._mm(lin.U, lik.y, transpose=True)[:k]
-            p = jnp.zeros(lin.Nz, uy.dtype).at[:k].set(lin.s * uy) / Delta
-            s2d = lin.spectrum / Delta
+            uy = lin._mm(lin.U, lik.y, transpose=True)   # (k,)
+            p = lin.s * uy / Delta                       # (k,)
+            s2d = lin.s**2 / Delta                       # (k,)
             return prior, lin, p, s2d
 
         def step(model, carry):
@@ -88,11 +86,19 @@ class SpectralVAMPSolver:
             r2 = (x1 - alpha1 * r1) / (1.0 - alpha1)
             gamma2 = jnp.clip(gamma1 * (1.0 - alpha1) / alpha1,
                               config.AMIN, config.AMAX)
-            t = lin._mm(lin.V, r2, transpose=True)
+            t = lin._mm(lin.V, r2, transpose=True)    # (k,)
             den = s2d + gamma2
             d = (gamma2 * t + p) / den
-            x2 = lin._mm(lin.V, d)
-            alpha2 = jnp.clip(gamma2 * jnp.mean(1.0 / den),
+            if lin.k == lin.Nz:
+                x2 = lin._mm(lin.V, d)
+                inv_den_mean = jnp.mean(1.0 / den)
+            else:
+                # complement modes (s=0): d_perp = t_perp, so
+                # x2 = V_k d + V_perp V_perp^T r2 = r2 + V_k (d - t)
+                x2 = r2 + lin._mm(lin.V, d - t)
+                inv_den_mean = (jnp.sum(1.0 / den)
+                                + (lin.Nz - lin.k) / gamma2) / lin.Nz
+            alpha2 = jnp.clip(gamma2 * inv_den_mean,
                               1e-11, 1.0 - 1e-11)
             r1_new = (x2 - alpha2 * r2) / (1.0 - alpha2)
             gamma1_new = jnp.clip(gamma2 * (1.0 - alpha2) / alpha2,
@@ -144,15 +150,12 @@ class SpectralVAMPSolver:
             r2 = (x1 - alpha1 * r1) / (1.0 - alpha1)
             gamma2 = jnp.clip(gamma1 * (1.0 - alpha1) / alpha1,
                               config.AMIN, config.AMAX)
-            t = lin._mm(lin.V, r2, transpose=True)
+            t = lin._mm(lin.V, r2, transpose=True)    # (k,)
             den = s2d + gamma2
             d = (gamma2 * t + p) / den
-            k = lin.s.shape[0]
-            sd = lin.s * d[:k]
-            if lin.Nx > k:
-                sd = jnp.pad(sd, (0, lin.Nx - k))
-            z_hat = lin._mm(lin.U, sd)
-            v_z = jnp.sum(lin.spectrum / den) / lin.Nx
+            # z = W x: only the k signal modes contribute (s=0 beyond k)
+            z_hat = lin._mm(lin.U, lin.s * d)
+            v_z = jnp.sum(lin.s**2 / den) / lin.Nx
             return ({x_id: {"r": x1, "v": v1},
                      z_id: {"r": z_hat, "v": v_z}}, i, conv)
 
