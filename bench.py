@@ -61,11 +61,13 @@ ALPHA = 0.5
 RHO = 0.25
 NOISE = 1e-2
 N_LOOP = 20
-BATCH_TPU = 768  # best measured on v5e with chained (dispatch-latency-free)
-                 # timing (bf16 state): 768 -> 232-234k, 896 -> 215k;
-                 # 1024 falls off a cliff (~147k) in the engine's GEMM
-                 # pattern (root-cause evidence in docs/performance.md;
-                 # the VAMP fast path has no such cliff)
+BATCH_TPU = 2048   # best measured on v5e with chained timing for the
+                   # thin-SVD engine GEMM shapes (f32 state: 512 -> 309k,
+                   # 768 -> 336k, 2048 -> 343k; the round-3 batch-1024
+                   # cliff disappeared with the thin factors)
+VAMP_BATCH = 3072  # the dispatched VAMP path keeps scaling past the
+                   # engine's plateau (2048 -> 605k, 3072 -> 675k,
+                   # 4096 -> 675k iter/s)
 
 #: matmul precision for the SVD-basis matvecs. Measured on v5e (flagship
 #: fixed point, see docs/implementation.md): "default" (bf16 MXU passes)
@@ -255,8 +257,8 @@ def bench_vamp_iterations(student, teacher, batch, n_loop):
     """DISPATCHED fast-path throughput on the flagship GLM (the
     production path, VERDICT r3 item 2a): `dispatch_solver` routes the
     prior @ LinearChannel @ GaussianLikelihood chain to
-    SpectralVAMPSolver — per iteration only the two V-basis GEMMs remain
-    (2 Nz^2 MACs vs the generic engine's 2 Nz^2 + 3 Nx^2), the
+    SpectralVAMPSolver — per iteration only the two thin V-basis GEMMs
+    remain (2 Nz k MACs vs the generic engine's per-sweep total), the
     Gaussian-likelihood LMMSE step being fully spectral — see
     tramp_tpu/parallel/vamp_glm.py. Same chained-timing protocol as
     bench_iterations."""
@@ -1051,8 +1053,8 @@ def bench_pl_kernel_micro(n=8_000_000):
 def bench_mlvamp_relu(student, teacher, batch, n_loop):
     """ML-VAMP (dispatched) throughput on the relu-net chain: the interior
     LinearChannel's spectral images are carried across passes, dropping
-    the duplicate U^T bx GEMM (2Nz^2+2Nx^2 vs the engine's 2Nz^2+3Nx^2
-    MACs/sweep) — tramp_tpu/parallel/ml_vamp.py. Chained timing."""
+    the duplicate U^T bx GEMM (4 thin GEMMs vs the engine's 6 per linear
+    factor per sweep) — tramp_tpu/parallel/ml_vamp.py. Chained timing."""
     import jax
     import jax.numpy as jnp
     from tramp_tpu.parallel import MLVAMPSolver, dispatch_solver
@@ -1257,8 +1259,8 @@ def main():
             gallery[name] = entry
 
         # spectral VAMP fast path (same flagship data): same fixed point,
-        # 2 Nz^2 MACs/iteration (parallel/vamp_glm.py)
-        vamp_its = bench_vamp_iterations(student, teacher, BATCH_TPU,
+        # 2 Nz k MACs/iteration on the thin factors (parallel/vamp_glm.py)
+        vamp_its = bench_vamp_iterations(student, teacher, VAMP_BATCH,
                                          N_LOOP)
         vamp32 = solve_flagship_vamp("float32")
 
