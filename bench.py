@@ -315,7 +315,7 @@ def solve_flagship_vamp(dtype):
 
 
 def bench_gated(student, teacher, batch):
-    """Convergence-GATED throughput mode (VERDICT r3 item 3), batch-768
+    """Convergence-GATED throughput mode (VERDICT r3 item 3), batched
     time-to-solution on the flagship GLM.
 
     Stopping criterion: kind "v" (|delta| of the mean posterior variance,
@@ -422,7 +422,7 @@ def bench_gated(student, teacher, batch):
         # under the v criterion (its extra sweeps + second dispatch
         # outweigh the bf16 bandwidth win) while it wins 1.13x under the
         # r criterion where every sweep costs 4.8x (docs/performance.md)
-        "metric": "gated_solve_batch768_time_to_solution_s",
+        "metric": f"gated_solve_batch{batch}_time_to_solution_s",
         "value": round(t_f32, 4),
         "unit": "s",
         "stop_kind": "v",

@@ -15,7 +15,8 @@ tramp/channels/low_rank/AMP_matrix_factorization.py:6).
 How it beats the generic tree engine on the SAME schedule
 ---------------------------------------------------------
 The engine's per-sweep cost on a dense `LinearChannel` (x = W z,
-W = U S V^T) is 2 Nz^2 + 3 Nx^2 MACs: the backward pass re-transforms
+W = U S V^T, thin factors U (Nx,k) / V (Nz,k)) is 5 thin GEMMs =
+2 Nz k + 3 Nx k MACs: the backward pass re-transforms
 the x-side cavity (U^T bx) that the forward pass already transformed,
 because the generic slot machinery materializes every message in real
 space (XLA's CSE removes the duplicate V^T bz but cannot remove U^T bx —
@@ -28,9 +29,10 @@ factor's spectral images across passes instead:
 - backward pass: U^T bx (fresh) is computed, used, and CARRIED to the
   next sweep's forward pass (bx next changes in the next backward pass).
 
-Per sweep that is 2 Nz^2 + 2 Nx^2 — with an identical iterate-by-iterate
-trajectory to the engine (same serial forward/backward schedule, same
-moment matching, same clipping, same damping).
+Per sweep that is 4 thin GEMMs (2 Nz k + 2 Nx k MACs) — with an
+identical iterate-by-iterate trajectory to the engine (same serial
+forward/backward schedule, same moment matching, same clipping, same
+damping).
 
 A terminal `GaussianLikelihood` is additionally PINNED: its message is a
 model constant (a = 1/var, b = y/var — reference
@@ -39,7 +41,7 @@ gaussian_likelihood.py:68-71), so its slot is fixed from iteration 0
 factor is a dense `LinearChannel`, its spectral image S U^T y / var is a
 loop invariant and the linear factor's forward message need not be
 materialized at all inside the loop. For the 3-factor GLM chain this
-recovers exactly `SpectralVAMPSolver`'s 2 Nz^2 MACs per iteration.
+recovers exactly `SpectralVAMPSolver`'s 2 Nz k MACs per iteration.
 Pinning changes the transient (not the fixed point): parity tests
 compare fixed points, like tests/test_vamp_glm.py.
 
@@ -401,7 +403,7 @@ def dispatch_solver(model, damping=None, tol=1e-6, max_iter=200, **kw):
     the fastest solver that provably reaches the same fixed point.
 
     - exact 3-factor GLM chain (prior @ LinearChannel @ GaussianLikelihood)
-      -> SpectralVAMPSolver (2 Nz^2 MACs/iter, no batch-1024 cliff);
+      -> SpectralVAMPSolver (2 Nz k MACs/iter on the thin factors);
     - any other supported SISO chain -> MLVAMPSolver (spectral-cached
       linear factors, pinned Gaussian likelihood);
     - anything else (trees, SIMO/MISO, multi-edge) -> the generic EPSolver.

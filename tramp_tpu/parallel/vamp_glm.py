@@ -1,14 +1,17 @@
 """Spectral VAMP fast path for GLM chains: prior @ LinearChannel @
 GaussianLikelihood.
 
-The generic tree engine costs 2 Nz^2 + 3 Nx^2 MACs per EP sweep on this
-chain (docs/performance.md roofline). VAMP (Rangan, Schniter, Fletcher,
-"Vector Approximate Message Passing", 2019 — the same moment-matching
-fixed point as EP on this factor chain) keeps the Gaussian-likelihood
-LMMSE step ENTIRELY in the SVD basis: per iteration only two dense GEMMs
-remain (V^T r2 into the spectral basis and V d back out), i.e. 2 Nz^2
-MACs — 2.75x fewer than the generic sweep at alpha = 1/2. The reference
-has no GLM fast path (its embedded VAMP solver serves only the low-rank
+VAMP (Rangan, Schniter, Fletcher, "Vector Approximate Message Passing",
+2019 — the same moment-matching fixed point as EP on this factor chain)
+keeps the Gaussian-likelihood LMMSE step ENTIRELY in the SVD basis: per
+iteration only two dense GEMMs against the THIN factor V_k (Nz, k),
+k = min(Nx, Nz), remain — V_k^T r2 into the spectral basis and
+V_k (d - t) back out, the complement modes riding along analytically
+(x2 = r2 + V_k (d - t), since d_perp = t_perp). That is 2 Nz k MACs
+per iteration vs the generic engine's full per-sweep cost
+(docs/performance.md roofline) — measured 1.7x the engine and 675k
+iter/s on the flagship at alpha = 1/2 (v5e). The reference has no GLM
+fast path (its embedded VAMP solver serves only the low-rank
 factorization channels, tramp/channels/low_rank/AMP_matrix_factorization.py).
 
 Iteration (standard VAMP form; gamma = cavity precisions):
