@@ -82,7 +82,10 @@ MATMUL_PRECISION = "default"
 # nonlinear (PL / Pallas) workload: two-layer relu network
 NL_N = 4096
 NL_ALPHA = 0.5
-NL_BATCH = 256
+NL_BATCH = 2048  # thin-SVD shapes keep scaling with batch: engine
+                 # 256 -> 317k, 1024 -> 521k, 2048 -> 557k (peak);
+                 # dispatched ML-VAMP 256 -> 416k, 1024 -> 776k,
+                 # 2048 -> 786k (peak), 3072 -> 778k
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(_DIR, ".bench_cpu_baseline.json")
