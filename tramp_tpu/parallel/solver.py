@@ -13,11 +13,38 @@ from ..algos import ExpectationPropagation, StateEvolution
 
 
 def stack_pytrees(trees):
-    "Stack same-structure pytrees along a new leading axis."
+    """Stack same-structure pytrees along a new leading axis.
+
+    Host-resident leaves (numpy arrays / python scalars — the common case
+    for SE phase-grid models, whose traced leaves are grid scalars) are
+    stacked in numpy and shipped to device as ONE array per leaf;
+    device-resident leaves go through jnp.stack unchanged. The numpy fast
+    path matters at grid scale: jnp.stack of 1000 host scalars dispatches
+    1000 tiny device ops per leaf (~0.9 s for a 1020-point grid vs ~0.02 s
+    in numpy)."""
+    import numpy as np
+
     leaves0, treedef = jax.tree.flatten(trees[0])
     all_leaves = [jax.tree.flatten(t)[0] for t in trees]
-    stacked = [jnp.stack([ls[i] for ls in all_leaves])
-               for i in range(len(leaves0))]
+    stacked = []
+    for i in range(len(leaves0)):
+        col = [ls[i] for ls in all_leaves]
+        if all(type(x) in (float, int, bool, complex) for x in col):
+            # python scalars are WEAK-typed in jax: a stacked protocol
+            # constant (e.g. likelihood var) must keep promoting like the
+            # unstacked model's python float, or an f32 sweep would come
+            # out f64 under x64 (breaking e.g. the gated-bf16 carry)
+            arr = jnp.asarray(np.stack(col))
+            try:
+                from jax._src.lax.lax import _convert_element_type
+                arr = _convert_element_type(arr, arr.dtype, weak_type=True)
+            except Exception:   # private API moved: exact slow fallback
+                arr = jnp.stack(col)
+            stacked.append(arr)
+        elif all(isinstance(x, (np.ndarray, np.generic)) for x in col):
+            stacked.append(jnp.asarray(np.stack(col)))
+        else:
+            stacked.append(jnp.stack(col))
     return jax.tree.unflatten(treedef, stacked)
 
 
