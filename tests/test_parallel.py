@@ -399,3 +399,20 @@ def test_solve_gated_bf16_under_ambient_state_bf16():
         config.STATE_BF16 = None
     assert bool(conv), info
     assert info["coarse_fired"] and info["n_iter_f32"] < 500
+
+
+def test_stack_pytrees_preserves_weak_typing():
+    """stack_pytrees regression: python-scalar leaf columns (protocol
+    constants like likelihood var) must stay WEAK-typed so the stacked
+    model promotes like the unstacked one — a strong f64 column under x64
+    turns f32 sweeps f64 and breaks the gated-bf16 carry."""
+    col_scalar = [{"var": 0.01, "W": np.ones(3, np.float32)}
+                  for _ in range(5)]
+    stacked = stack_pytrees(col_scalar)
+    assert stacked["var"].weak_type, "python-float column must stay weak"
+    assert stacked["W"].dtype == jnp.float32
+    # promotion check: weak f64 * f32 -> f32 (the unstacked behavior)
+    assert (stacked["var"] * jnp.ones((), jnp.float32)).dtype == jnp.float32
+    # numpy scalar columns are strong in jax, and must remain so
+    st2 = stack_pytrees([{"a": np.float64(0.5)} for _ in range(3)])
+    assert not st2["a"].weak_type
