@@ -140,6 +140,9 @@ ACCURACY_BOUNDS = {
     # within (3 sd-of-mean + 10%) of the Bayes-optimal SE prediction
     # (dev is normalized by that band; < 1 means inside it)
     "ensemble_sweep.ep_tracks_se_max_dev": 1.0,
+    # the same protocol solved by the dispatched SpectralVAMPSolver at
+    # default precision (same fixed point; v-metric survives bf16 GEMMs)
+    "ensemble_sweep_dispatched.ep_tracks_se_max_dev": 1.0,
     # spectral VAMP fast path: same fixed point as the generic engine
     # (f32-band agreement on the flagship instance)
     "vamp_glm.v_rel_err_vs_ep_f32": 2e-2,
@@ -803,7 +806,7 @@ def bench_ensemble_sweep():
         return _ensemble_sweep_impl()
 
 
-def _ensemble_sweep_impl():
+def _ensemble_sweep_impl(use_vamp=False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -851,8 +854,16 @@ def _ensemble_sweep_impl():
         # and fires in ~0.6x the sweeps of the relative-r rule at the
         # same tol — measured 2.3x block throughput with an unchanged
         # EP-tracks-SE deviation (docs/performance.md)
-        solver = EPSolver(students_list[0], damping=0.1, max_iter=500,
-                          tol=1e-6, stop_kind="v")
+        if use_vamp:
+            from tramp_tpu.parallel.vamp_glm import SpectralVAMPSolver
+            # damping 0.5: measured best on this grid (undamped: 49k
+            # inst/s, 1114 straggler lanes at max_iter; 0.5: 62k inst/s,
+            # 112 stragglers; EP-tracks-SE dev unchanged 0.29)
+            solver = SpectralVAMPSolver(students_list[0], damping=0.5,
+                                        tol=1e-6, max_iter=500)
+        else:
+            solver = EPSolver(students_list[0], damping=0.1, max_iter=500,
+                              tol=1e-6, stop_kind="v")
 
         def sample_batch(stacked_teacher, keys):
             "(point, seed) samples: x0 (P,S,N), y (P,S,M)."
@@ -875,8 +886,11 @@ def _ensemble_sweep_impl():
                     leaves, treedef = jax.tree.flatten(model)
                     leaves = [y if l is y_leaf else l for l in leaves]
                     m = jax.tree.unflatten(treedef, leaves)
-                    post, _, n_iter, conv = solver._run(
-                        m, state0, max_iter, tol)
+                    if use_vamp:
+                        post, n_iter, conv = solver._run(m, max_iter, tol)
+                    else:
+                        post, _, n_iter, conv = solver._run(
+                            m, state0, max_iter, tol)
                     mse = jnp.mean((post["x"]["r"] - x0_s) ** 2)
                     return mse, n_iter, conv
                 return jax.vmap(per_seed)(ys_p, x0_p)
@@ -885,7 +899,7 @@ def _ensemble_sweep_impl():
         jit_block = jax.jit(run_block)
         jit_sample = jax.jit(sample_batch)
         students = stack_pytrees(students_list)
-        state0 = solver.init_state()
+        state0 = None if use_vamp else solver.init_state()
         P = len(SWEEP_RHOS)
         n_chunks, rem = divmod(SWEEP_SEEDS, SWEEP_SEED_CHUNK)
         assert rem == 0, "SWEEP_SEEDS must be a multiple of the chunk"
@@ -941,7 +955,8 @@ def _ensemble_sweep_impl():
                + 0.1 * rec["v_se"] + 1e-9)
             for rec in records if rec["v_se"] > 1e-4]
     return {
-        "metric": "ep_ensemble_sweep_instances_per_s",
+        "metric": ("vamp_ensemble_sweep_instances_per_s" if use_vamp
+                   else "ep_ensemble_sweep_instances_per_s"),
         "value": round(n_instances / t_solve, 1),
         "unit": "instances/s",
         "n_instances": n_instances,
@@ -954,6 +969,19 @@ def _ensemble_sweep_impl():
         "n_lanes_total": n_instances,
         "grid": records,
     }
+
+
+def bench_ensemble_sweep_dispatched():
+    """Config-5 sweep via the DISPATCHED production path: the same
+    163,840-instance protocol solved by `SpectralVAMPSolver` (the solver
+    `dispatch_solver` routes these GLM chains to; identical fixed point,
+    tests/test_vamp_glm.py). Runs at DEFAULT matmul precision with bf16
+    weight streaming: VAMP's mean-variance stopping metric is a signed
+    scalar mean, so it survives the bf16 GEMM rounding that limit-cycles
+    the engine's relative-r criterion in this broadcast-W layout
+    (docs/performance.md) — no "highest"-precision penalty needed. The
+    EP-tracks-SE band is asserted exactly like the engine sweep."""
+    return _ensemble_sweep_impl(use_vamp=True)
 
 
 def check_accuracy_bounds(results):
@@ -1274,6 +1302,9 @@ def main():
 
         sweep = bench_ensemble_sweep()
 
+        # the same protocol through the dispatched production path
+        sweep_disp = bench_ensemble_sweep_dispatched()
+
         nonlinear = bench_nonlinear()
 
     accuracy = {
@@ -1324,7 +1355,8 @@ def main():
 
     violations = check_accuracy_bounds(
         {"flagship": accuracy, "se_grid": se_grid,
-         "ensemble_sweep": sweep, "vamp_glm": vamp_glm,
+         "ensemble_sweep": sweep, "ensemble_sweep_dispatched": sweep_disp,
+         "vamp_glm": vamp_glm,
          "nonlinear": nonlinear, "gated": gated, **gallery})
 
     full = {
@@ -1351,6 +1383,7 @@ def main():
         "accuracy_gallery": gallery,
         "se_grid": se_grid,
         "ensemble_sweep": sweep,
+        "ensemble_sweep_dispatched": sweep_disp,
         "vamp_glm": vamp_glm,
         "gated": gated,
         "nonlinear": nonlinear,
@@ -1372,6 +1405,7 @@ def main():
         "vs_baseline": full["vs_baseline"],
         "engine_iter_s": round(tpu_its, 2),
         "ensemble_sweep_instances_per_s": sweep["value"],
+        "ensemble_sweep_dispatched_instances_per_s": sweep_disp["value"],
         "ensemble_sweep_n_instances": sweep["n_instances"],
         "se_grid_points_per_s": se_grid["value"],
         "relu_net_mlvamp_iter_s": nonlinear["value"],
