@@ -250,9 +250,18 @@ def test_adaptive_damping_fused_matches_python():
                                np.asarray(d_py["r"]), rtol=1e-12, atol=0)
     np.testing.assert_allclose(np.asarray(d_fused["v"]),
                                np.asarray(d_py["v"]), rtol=1e-12, atol=0)
-    # and the full message state agrees slot by slot
-    for s, (m_f, m_p) in enumerate(zip(ep_fused.state, ep_py.state)):
+    # and the full message state agrees slot by slot (the trailing
+    # spectral-carry cache, if any, is compared as its own dict)
+    n_slots = ep_fused.n_slots
+    for s, (m_f, m_p) in enumerate(zip(ep_fused.state[:n_slots],
+                                       ep_py.state[:n_slots])):
         for k in ("a", "b"):
             np.testing.assert_allclose(
                 np.asarray(m_f[k]), np.asarray(m_p[k]), rtol=1e-12, atol=0,
                 err_msg=f"slot {s} key {k}")
+    if ep_fused.spectral_factors:
+        c_f, c_p = ep_fused.state[n_slots], ep_py.state[n_slots]
+        for k in c_f:
+            np.testing.assert_allclose(
+                np.asarray(c_f[k]), np.asarray(c_p[k]), rtol=1e-12, atol=0,
+                err_msg=f"spectral cache {k}")

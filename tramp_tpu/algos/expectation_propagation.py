@@ -2,7 +2,7 @@
 Reference tramp/algos/expectation_propagation.py."""
 import jax.numpy as jnp
 
-from ..base import Variable
+from ..base import Variable, compute_ab_new
 from .message_passing import MessagePassing, slot, FWD, BWD
 
 
@@ -43,8 +43,90 @@ class ExpectationPropagation(MessagePassing):
             return node.constant_backward_message()
         return node.constant_forward_message()
 
+    # -- spectral-image carry (config.SPECTRAL_CARRY) ----------------------
+    # Dense LinearChannels at ANY tree position carry U^T bx across sweeps
+    # (the message state's trailing cache dict): the forward pass reads the
+    # image the previous backward pass computed — bx (the bwd slot of the
+    # factor's out edge) cannot change in between because the forward pass
+    # writes only fwd slots. Per linear factor per sweep this saves one thin
+    # (Nx, k) GEMM: 2 Nz k + 3 Nx k -> 2 Nz k + 2 Nx k MACs (V^T bz is
+    # already CSE'd by XLA within a sweep; U^T bx is the cross-sweep
+    # duplicate only a carry can remove). Generalizes the chain-only ML-VAMP
+    # carry discipline (parallel/ml_vamp.py:16-47); the two matvecs being
+    # cached are the reference's linear_channel.py:69-83. Trajectories are
+    # bit-identical to the uncached engine (same _mm, same stored operand).
+    def _init_spectral_factors(self):
+        from .. import config
+        if not config.spectral_carry():
+            return ()
+        if not self.harmonize:
+            # explain/latex wrappers print per-slot updates eagerly and
+            # cannot host the ("spec", key) update channel
+            return ()
+        from ..channels import LinearChannel
+        out = []
+        for i, node in enumerate(self.nodes):
+            if type(node) is not LinearChannel:
+                continue
+            e_out = self.model.out_edges[i][0]
+            if slot(e_out, BWD) in self.pinned:
+                # bx is a model constant: U^T bx is loop-invariant and XLA
+                # LICM hoists it already; carrying it would only add state
+                continue
+            out.append(i)
+        return out
+
+    def _spectral_resolvent(self, node, az, bz, ax, t, u):
+        "k-space mean m = (t + s u)/(az + ax s^2), batch-aware like _mean_svd."
+        res = 1.0 / (az + ax * node.s**2)
+        s = node.s
+        if bz.ndim > 1:
+            res = res[..., None]
+            s = s[:, None]
+        return res * (t + s * u), s
+
+    def _spectral_forward(self, i, node, state):
+        "Forward message with the carried tx = U^T bx (no fresh U^T GEMM)."
+        e_in = self.model.in_edges[i][0]
+        e_out = self.model.out_edges[i][0]
+        m_in = self._load_msg(state[slot(e_in, FWD)])
+        m_out = self._load_msg(state[slot(e_out, BWD)])
+        az, bz = m_in["a"], m_in["b"]
+        ax, bx = m_out["a"], m_out["b"]
+        u = state[self.n_slots][str(i)]
+        t = node._mm(node.V, bz, transpose=True)
+        m, s = self._spectral_resolvent(node, az, bz, ax, t, u)
+        rx = node._mm(node.U, s * m)
+        vx = node.compute_forward_variance(az, ax)
+        a_new, b_new = compute_ab_new(rx, vx, ax, bx)
+        return {slot(e_out, FWD): {"a": a_new, "b": b_new}}
+
+    def _spectral_backward(self, i, node, state):
+        "Backward message; the fresh U^T bx becomes the carried image."
+        e_in = self.model.in_edges[i][0]
+        e_out = self.model.out_edges[i][0]
+        m_in = self._load_msg(state[slot(e_in, FWD)])
+        m_out = self._load_msg(state[slot(e_out, BWD)])
+        az, bz = m_in["a"], m_in["b"]
+        ax, bx = m_out["a"], m_out["b"]
+        t = node._mm(node.V, bz, transpose=True)   # CSE'd with the fwd pass
+        u = node._mm(node.U, bx, transpose=True)   # fresh -> carried
+        m, _ = self._spectral_resolvent(node, az, bz, ax, t, u)
+        if node.k == node.Nz:
+            rz = node._mm(node.V, m)
+        else:
+            # complement modes (s=0, resolvent 1/az), LinearChannel
+            # compute_backward_mean's projector identity
+            rz = bz / az + node._mm(node.V, m - t / az)
+        vz = node.compute_backward_variance(az, ax)
+        a_new, b_new = compute_ab_new(rz, vz, az, bz)
+        return {slot(e_in, BWD): {"a": a_new, "b": b_new},
+                ("spec", str(i)): u}
+
     # -- factor ops -------------------------------------------------------
     def _factor_forward(self, i, node, state, aux):
+        if i in self._spectral:
+            return self._spectral_forward(i, node, state)
         prev_msgs, next_msgs = self._gather_factor_inputs(i, state)
         ax, bx = _unwrap(next_msgs, node.n_next)
         if node.n_prev == 0:
@@ -59,6 +141,8 @@ class ExpectationPropagation(MessagePassing):
                 for e, a, b in zip(out_edges, a_new, b_new)}
 
     def _factor_backward(self, i, node, state, aux):
+        if i in self._spectral:
+            return self._spectral_backward(i, node, state)
         prev_msgs, next_msgs = self._gather_factor_inputs(i, state)
         az, bz = _unwrap(prev_msgs, node.n_prev)
         if node.n_next == 0:

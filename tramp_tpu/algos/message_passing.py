@@ -98,6 +98,20 @@ class MessagePassing:
         self.pinned = (frozenset(self.pinned_factor)
                        | frozenset(self.pinned_variable))
 
+        # -- spectral-image carry (config.SPECTRAL_CARRY) ------------------
+        # Factor node indices whose backward spectral image (U^T bx for a
+        # dense LinearChannel) is carried in the state across sweeps: the
+        # forward pass reads the image the previous backward pass computed
+        # instead of re-materializing the same GEMM (the forward pass only
+        # writes fwd slots, so bx — the bwd slot of the factor's out edge —
+        # cannot have changed in between). Saves one thin (Nx, k) GEMM per
+        # linear factor per sweep at ANY tree position; bit-identical
+        # trajectories (same _mm on the same stored operand). The engine
+        # hook `_init_spectral_factors` returns () by default; the EP
+        # engine registers dense LinearChannels.
+        self.spectral_factors = tuple(self._init_spectral_factors())
+        self._spectral = frozenset(self.spectral_factors)
+
     def _init_pinned_slots(self):
         for i, node in enumerate(self.nodes):
             if isinstance(node, Variable):
@@ -126,6 +140,11 @@ class MessagePassing:
     def _constant_factor_message(self, node):
         "Engine hook: True when `node`'s emitted message is model-constant."
         return False
+
+    def _init_spectral_factors(self):
+        """Engine hook: factor node indices that carry a spectral image in
+        the state (see __init__). Default: none."""
+        return ()
 
     def _pinned_values(self, model):
         """{slot: message} for every pinned slot, computed from the model
@@ -160,7 +179,29 @@ class MessagePassing:
                 for key in self.message_keys:
                     msg[key] = initializer.init(key, shape, var.id, dname)
                 state.append(msg)
-        return self._harmonize_state(tuple(state))
+        if self.spectral_factors:
+            # zero placeholder cache; shapes/dtypes harmonize with the rest
+            state.append({
+                str(i): jnp.zeros(self.nodes[i].k)
+                for i in self.spectral_factors})
+        state = self._harmonize_state(tuple(state))
+        if self.spectral_factors:
+            # exact init: the cache must equal U^T bx0 of the initialized
+            # slots (the same value the uncached engine's first forward
+            # pass would compute), so trajectories stay bit-identical even
+            # under NoisyInit/CustomInit
+            state = self._refresh_spectral_cache(state)
+        return state
+
+    def _refresh_spectral_cache(self, state):
+        "Recompute each carried spectral image from the current slots."
+        cache = {}
+        for i in self.spectral_factors:
+            node = self.nodes[i]
+            e_out = self.model.out_edges[i][0]
+            bx = self._load_msg(state[slot(e_out, BWD)])["b"]
+            cache[str(i)] = node._mm(node.U, bx, transpose=True)
+        return tuple(state[:self.n_slots]) + (cache,)
 
     def _harmonize_state(self, state):
         """Broadcast each slot's init values to the shapes a sweep emits.
@@ -182,13 +223,21 @@ class MessagePassing:
 
         out = jax.eval_shape(two_sweeps, state)
         new_state = []
-        for msg, out_msg in zip(state, out):
+        for msg, out_msg in zip(state[:self.n_slots], out[:self.n_slots]):
             new_msg = {}
             for key in self.message_keys:
                 tgt = out_msg[key]
                 new_msg[key] = jnp.broadcast_to(
                     jnp.asarray(msg[key], dtype=tgt.dtype), tgt.shape)
             new_state.append(new_msg)
+        if self.spectral_factors:
+            cache, out_cache = state[self.n_slots], out[self.n_slots]
+            new_cache = {
+                k: jnp.broadcast_to(
+                    jnp.asarray(cache[k], out_cache[k].dtype),
+                    out_cache[k].shape)
+                for k in cache}
+            return tuple(new_state) + (new_cache,)
         return tuple(new_state)
 
     # -- damping ---------------------------------------------------------
@@ -351,6 +400,12 @@ class MessagePassing:
         "One forward + backward sweep. Returns new state tuple."
         aux = self._prepare(model)
         state = list(state)
+        if self.spectral_factors:
+            # local cache copy at index n_slots; spectral factor reads go
+            # through state[self.n_slots], writes through the ("spec", key)
+            # update channel below
+            cache = dict(state[self.n_slots])
+            state[self.n_slots] = cache
         dA = {}
         # pinned slots: overwrite from the model BEFORE the passes so every
         # in-body read derives from loop-invariant leaves (LICM-hoistable).
@@ -367,6 +422,12 @@ class MessagePassing:
 
         def write(updates):
             for s, msg in updates.items():
+                if isinstance(s, tuple):
+                    # ("spec", key): carried spectral image — a derived
+                    # quantity (U^T of a stored slot), never damped, never
+                    # part of the Bethe objective
+                    cache[s[1]] = msg
+                    continue
                 if s in self.pinned:
                     if update_dA:
                         # a pinned slot never changes within a sweep, so
@@ -480,7 +541,10 @@ class MessagePassing:
     # -- finite guard -----------------------------------------------------
     def _all_finite(self, state):
         flags = [jnp.all(jnp.isfinite(msg[k]))
-                 for msg in state for k in self.message_keys]
+                 for msg in state[:self.n_slots] for k in self.message_keys]
+        if self.spectral_factors:
+            flags += [jnp.all(jnp.isfinite(v))
+                      for v in state[self.n_slots].values()]
         return jnp.stack(flags).all()
 
     # -- iterate ----------------------------------------------------------
@@ -674,9 +738,12 @@ class MessagePassing:
         if self.state is None:
             raise ValueError("message state was never initialized")
         arrays = {"__n_iter__": np.asarray(self.n_iter)}
-        for s, msg in enumerate(self.state):
+        for s, msg in enumerate(self.state[:self.n_slots]):
             for key in self.message_keys:
                 arrays[f"s{s}_{key}"] = np.asarray(msg[key])
+        if self.spectral_factors:
+            for k, v in self.state[self.n_slots].items():
+                arrays[f"spec_{k}"] = np.asarray(v)
         np.savez(path, **arrays)
 
     def load_state(self, path):
@@ -688,7 +755,17 @@ class MessagePassing:
             msg = {key: jnp.asarray(data[f"s{s}_{key}"])
                    for key in self.message_keys}
             state.append(msg)
-        self.state = tuple(state)
+        state = tuple(state)
+        if self.spectral_factors:
+            if f"spec_{self.spectral_factors[0]}" in data.files:
+                state = state + ({
+                    str(i): jnp.asarray(data[f"spec_{i}"])
+                    for i in self.spectral_factors},)
+            else:
+                # checkpoint from a SPECTRAL_CARRY=False run (or an older
+                # version): rebuild the carried images from the slots
+                state = self._refresh_spectral_cache(state)
+        self.state = state
         self.n_iter = int(data["__n_iter__"])
         return self
 

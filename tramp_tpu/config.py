@@ -99,6 +99,29 @@ def pin_constant_messages():
     return False
 
 
+#: Spectral-image carry for dense LinearChannels in the generic tree
+#: engine: the backward pass's U^T bx is kept in the message state and
+#: reused by the next forward pass (bx cannot change in between — the
+#: forward pass writes only fwd slots), saving one thin (Nx, k) GEMM per
+#: linear factor per sweep: 2 Nz k + 3 Nx k -> 2 Nz k + 2 Nx k MACs.
+#: This generalizes the chain-only ML-VAMP carry discipline
+#: (parallel/ml_vamp.py:16-47) to linear factors at ANY tree position
+#: (TV, committee, sparse-gradient models). The carried image is a
+#: length-k vector (tiny next to the (N,) slots), unlike the round-3
+#: constant-message-pinning negative which parked a (batch x M) buffer in
+#: the carry. The cached value is recomputed by the same _mm on the same
+#: stored operand, so trajectories are BIT-IDENTICAL to the uncached
+#: engine. None = auto (True), True/False = force.
+SPECTRAL_CARRY = None
+
+
+def spectral_carry():
+    "Resolve the SPECTRAL_CARRY gate (None = auto: True)."
+    if SPECTRAL_CARRY is not None:
+        return bool(SPECTRAL_CARRY)
+    return True
+
+
 #: FFT implementation for the conv/gradient/DFT channels: None = auto
 #: (probe whether the backend executes XLA's FFT custom call; some TPU
 #: runtimes return UNIMPLEMENTED), "xla" = force jnp.fft, "matmul" = force
