@@ -67,7 +67,7 @@ def test_bf16_state_carry_dtype():
             state = ep.init_state()
             state = ep._sweep(student, state,
                               ep._damping_per_slot(0.1))
-            for msg in state:
+            for msg in state[:ep.n_slots]:
                 assert msg["b"].dtype == jnp.bfloat16
             post = ep._posterior(ep.variable_indices[0], state)
             assert post["b"].dtype == jnp.float32
