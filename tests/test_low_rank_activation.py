@@ -230,3 +230,94 @@ def test_se_kk_prior_mean_terms_informative():
         au=1.0, av=1.0, ax=2.0, model="UV", K=2, alpha=1.0,
         lam_u=jnp.asarray([1.0, 1.0]), lam_v=jnp.asarray([1.0, 1.0]))
     assert float(jnp.trace(mse1)) < float(np.trace(np.asarray(mse0)))
+
+
+# ---------------------------------------------------------------------------
+# Forward posterior (VERDICT r4 missing #1): the moment-matched x-posterior
+# implemented where the reference uses a placeholder
+# (low_rank_factorization.py:43-46, low_rank_gram_channel.py:36-41).
+# ---------------------------------------------------------------------------
+
+def _uv_instance(seed=0, M=40, N=60, K=2, Delta=0.1):
+    rng = np.random.RandomState(seed)
+    u0 = rng.randn(M, K)
+    v0 = rng.randn(N, K)
+    X0 = u0 @ v0.T / np.sqrt(N)
+    Y = X0 + np.sqrt(Delta) * rng.randn(M, N)
+    return u0, v0, X0, Y, 1.0 / Delta, Y / Delta
+
+
+def test_forward_posterior_consistent_with_backward():
+    "rx must equal rz_u rz_v^T / sqrt(N) of the same embedded solve."
+    from tramp_tpu.channels import LowRankFactorization
+    M, N, K = 40, 60, 2
+    _, _, _, _, ax, bx = _uv_instance()
+    ch = LowRankFactorization(M=M, N=N, K=K)
+    az = [1.0, 1.0]
+    bz = [jnp.zeros((M, K)), jnp.zeros((N, K))]
+    rx, vx = ch.compute_forward_posterior(az, bz, ax, jnp.asarray(bx))
+    [ru, rv], [vu, vv] = ch.compute_backward_posterior(
+        az, bz, ax, jnp.asarray(bx))
+    np.testing.assert_allclose(
+        np.asarray(rx), np.asarray(ru) @ np.asarray(rv).T / np.sqrt(N),
+        rtol=1e-12)
+    assert rx.shape == (M, N)
+    assert float(vx) > 0
+
+
+def test_forward_variance_matches_naive_einsum():
+    "Isotropic vx == the naive per-(i,j) product-variance average."
+    from tramp_tpu.channels.low_rank import (
+        vamp_matrix_factorization, forward_posterior_from_marginals)
+    M, N, K = 30, 45, 2
+    _, _, _, _, ax, bx = _uv_instance(seed=4, M=M, N=N, K=K)
+    *_, (U, C_U, V, C_V) = vamp_matrix_factorization(
+        au=1.0, av=1.0, bu=jnp.zeros((M, K)), bv=jnp.zeros((N, K)),
+        ax=ax, bx=jnp.asarray(bx), model="UV", return_marginals=True)
+    _, vx = forward_posterior_from_marginals(U, C_U, V, C_V, N)
+    U, C_U, V, C_V = map(np.asarray, (U, C_U, V, C_V))
+    # naive: Var(u_i . v_j) = u_i^T C_V_j u_i + v_j^T C_U_i v_j
+    #                          + tr(C_U_i C_V_j)
+    acc = 0.0
+    for i in range(M):
+        for j in range(N):
+            acc += (U[i] @ C_V[j] @ U[i] + V[j] @ C_U[i] @ V[j]
+                    + np.trace(C_U[i] @ C_V[j]))
+    np.testing.assert_allclose(float(vx), acc / (M * N * N), rtol=1e-10)
+
+
+def test_forward_posterior_reconstructs_x():
+    "High SNR: the x-posterior mean recovers the planted X0 (gauge-free)."
+    from tramp_tpu.channels import LowRankFactorization
+    M, N, K = 60, 80, 2
+    _, _, X0, _, ax, bx = _uv_instance(seed=1, M=M, N=N, K=K, Delta=0.01)
+    ch = LowRankFactorization(M=M, N=N, K=K)
+    az = [1.0, 1.0]
+    bz = [jnp.zeros((M, K)), jnp.zeros((N, K))]
+    rx, vx = ch.compute_forward_posterior(az, bz, ax, jnp.asarray(bx))
+    mse_x = float(np.mean((np.asarray(rx) - X0) ** 2))
+    tau_x = float(np.mean(X0**2))
+    assert mse_x < 0.05 * tau_x, (mse_x, tau_x)
+    # the posterior's own variance estimate is in the empirical ballpark
+    assert 0.1 * mse_x < float(vx) < 10 * mse_x + 0.05 * tau_x
+
+
+def test_gram_forward_posterior():
+    "XX model: rx = Z_hat Z_hat^T / sqrt(N), symmetric."
+    from tramp_tpu.channels import LowRankGramChannel
+    rng = np.random.RandomState(2)
+    N, K, Delta = 50, 2, 0.05
+    z0 = rng.randn(N, K)
+    X0 = z0 @ z0.T / np.sqrt(N)
+    # x = z z^T is symmetric: the observation noise must be too (the
+    # asymmetric part carries no signal and halves the effective SNR)
+    E = rng.randn(N, N)
+    Y = X0 + np.sqrt(Delta) * (E + E.T) / np.sqrt(2)
+    ch = LowRankGramChannel(N=N, K=K)
+    rx, vx = ch.compute_forward_posterior(
+        1.0, jnp.zeros((N, K)), 1.0 / Delta, jnp.asarray(Y / Delta))
+    rx = np.asarray(rx)
+    np.testing.assert_allclose(rx, rx.T, rtol=1e-10)
+    assert float(vx) > 0
+    mse_x = float(np.mean((rx - X0) ** 2))
+    assert mse_x < 0.2 * float(np.mean(X0**2))

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from ..base_channel import Channel, MatrixFactorization
 from .vamp_solver import (vamp_matrix_factorization,
+                          forward_posterior_from_marginals,
                           se_matrix_factorization,
                           se_matrix_factorization_kk)  # noqa: F401
 
@@ -32,8 +33,14 @@ class LowRankGramChannel(Channel):
         return self.K * tau_z * tau_z / self.N
 
     def compute_forward_posterior(self, az, bz, ax, bx):
-        # placeholder (reference l:36-41 uses placeholders too)
-        return jnp.ones_like(bx), jnp.asarray(1.0)
+        # real moment-matched posterior where the reference stubs one
+        # (low_rank_gram_channel.py:36-41 'Using placeholders'): run the
+        # embedded VAMP and match its marginals into x = z z^T / sqrt(N)
+        *_, (Z_hat, C_Z, _, _) = vamp_matrix_factorization(
+            au=az, av=az, bu=bz, bv=bz, ax=ax, bx=bx, model="XX",
+            return_marginals=True)
+        return forward_posterior_from_marginals(
+            Z_hat, C_Z, Z_hat, C_Z, self.N)
 
     def compute_backward_posterior(self, az, bz, ax, bx):
         rz_u, vz_u, rz_v, vz_v = vamp_matrix_factorization(
@@ -73,7 +80,20 @@ class LowRankFactorization(MatrixFactorization):
         return self.K * tau_u * tau_v / self.N
 
     def compute_forward_posterior(self, az, bz, ax, bx):
-        return jnp.ones_like(bx), jnp.asarray(1.0)
+        # real moment-matched posterior where the reference stubs one
+        # (low_rank_factorization.py:43-46 'FIXME ... Using placeholders'):
+        # run the embedded VAMP and match its (U, V) marginals into
+        # x = u v^T / sqrt(N). When x is a terminal observed leaf behind a
+        # Gaussian likelihood this does not move the (u, v) fixed point
+        # (the likelihood's backward message is a model constant); it does
+        # give correct x-posterior readouts and supports non-terminal x.
+        au, av = az
+        bu, bv = bz
+        *_, (U_hat, C_U, V_hat, C_V) = vamp_matrix_factorization(
+            au=au, av=av, bu=bu, bv=bv, ax=ax, bx=bx, model="UV",
+            return_marginals=True)
+        return forward_posterior_from_marginals(
+            U_hat, C_U, V_hat, C_V, self.N)
 
     def compute_backward_posterior(self, az, bz, ax, bx):
         au, av = az

@@ -34,12 +34,17 @@ def _posterior(A, B, a0, b0):
 
 def vamp_matrix_factorization(au, av, bu, bv, ax, bx, model="UV",
                               max_iter=500, min_iter=25, tol=1e-5,
-                              damping=0.1):
+                              damping=0.1, return_marginals=False):
     """Run the VAMP matrix-factorization solver.
 
     Parameters: natural-parameter messages on u (M,K), v (N,K) and the
     observation channel x (M,N) with precision ax (scalar) and bx (M,N).
-    Returns (rz_u (M,K), vz_u scalar, rz_v (N,K), vz_v scalar)."""
+    Returns (rz_u (M,K), vz_u scalar, rz_v (N,K), vz_v scalar); with
+    ``return_marginals=True`` the full per-row posterior marginals
+    (U_hat (M,K), C_U (M,K,K), V_hat (N,K), C_V (N,K,K)) are appended —
+    the channels' forward posterior on x moment-matches these (the
+    reference leaves that posterior as a placeholder,
+    low_rank_factorization.py:43-46)."""
     bu = jnp.asarray(bu)
     bv = jnp.asarray(bv)
     M, K = bu.shape
@@ -144,7 +149,34 @@ def vamp_matrix_factorization(au, av, bu, bv, ax, bx, model="UV",
     rz_v = V_hat
     vz_u = jnp.mean(jnp.trace(C_U, axis1=1, axis2=2)) / K
     vz_v = jnp.mean(jnp.trace(C_V, axis1=1, axis2=2)) / K
+    if return_marginals:
+        return rz_u, vz_u, rz_v, vz_v, (U_hat, C_U, V_hat, C_V)
     return rz_u, vz_u, rz_v, vz_v
+
+
+def forward_posterior_from_marginals(U_hat, C_U, V_hat, C_V, N):
+    """Moment-matched forward posterior on x = u v^T / sqrt(N) from the
+    embedded VAMP's per-row marginals (posterior independence across rows,
+    the solver's own factorization assumption):
+
+        rx_ij = U_hat_i . V_hat_j / sqrt(N)
+        vx    = mean_ij Var(u_i . v_j) / N
+              = [ mean_i u_i^T Cbar_V u_i + mean_j v_j^T Cbar_U v_j
+                  + tr(Cbar_U Cbar_V) ] / N        (isotropic average)
+
+    with Cbar_* the row-averaged covariances — the variance of a product
+    of independent Gaussians, averaged over (i, j), which factorizes
+    through the row means because trace/quadratic forms are linear in the
+    covariance. This implements the posterior the reference stubs
+    (low_rank_factorization.py:43-46 'Using placeholders')."""
+    rx = U_hat @ V_hat.T / jnp.sqrt(1.0 * N)
+    Cu_bar = jnp.mean(C_U, axis=0)
+    Cv_bar = jnp.mean(C_V, axis=0)
+    t_u = jnp.mean(jnp.einsum("ik,kl,il->i", U_hat, Cv_bar, U_hat))
+    t_v = jnp.mean(jnp.einsum("jk,kl,jl->j", V_hat, Cu_bar, V_hat))
+    t_c = jnp.trace(Cu_bar @ Cv_bar)
+    vx = (t_u + t_v + t_c) / N
+    return rx, vx
 
 
 def _sp_q(Sigma, lam, gamma):
