@@ -753,9 +753,14 @@ def bench_se_grid():
         prior_type="gauss_bernoulli", output_type="gaussian",
         output_var=1e-11)
     df = run_se_phase_grid(glm_state_evolution, **kwargs)  # warmup+compile
-    t0 = time.perf_counter()
-    df = run_se_phase_grid(glm_state_evolution, **kwargs)
-    dt = time.perf_counter() - t0
+    # best of 3 timed repetitions: this block's wall-clock swings ~2x
+    # across runs on the remote runtime (measured 840-1930 points/s for
+    # identical code); the best rep is the least tunnel-noise-polluted
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = run_se_phase_grid(glm_state_evolution, **kwargs)
+        dt = min(dt, time.perf_counter() - t0)
     n = len(df)
     errs = []
     for a, rho, v_ref in SE_GOLDEN_ROWS:
@@ -974,6 +979,7 @@ def _ensemble_sweep_impl(use_vamp=False):
         n_chunks, rem = divmod(SWEEP_SEEDS, SWEEP_SEED_CHUNK)
         assert rem == 0, "SWEEP_SEEDS must be a multiple of the chunk"
         # streaming per-point accumulators over the chunked seed axis
+        pending = []   # this alpha's stragglers: (p, y, x0, default_mse)
         acc = dict(mse_sum=np.zeros(P), mse_sq=np.zeros(P),
                    it_sum=np.zeros(P), conv=np.zeros(P, np.int64))
         warmed = False
@@ -1005,25 +1011,37 @@ def _ensemble_sweep_impl(use_vamp=False):
             conv = np.array(conv)
             bad = np.argwhere(~conv)
             if len(bad):
+                # defer the exact-precision re-solve: collect stragglers
+                # across ALL chunks of this alpha and escalate them in a
+                # couple of big batched calls below (per-chunk calls paid
+                # one remote dispatch each — 16x the necessary latency)
                 ys_h = np.asarray(ys)
                 x0_h = np.asarray(x0, np.float64)
-                for start in range(0, len(bad), 64):
-                    grp = bad[start:start + 64]
-                    lanes = [(int(p), ys_h[p, s]) for p, s in grp]
-                    posts, its, convs, esc_dt = escalate(lanes)
-                    t_solve += esc_dt  # device time of the re-solve
-                    r_all = np.asarray(posts["x"]["r"], np.float64)
-                    for j, (p, s) in enumerate(grp):
-                        r = r_all[j]
-                        mse[p, s] = float(np.mean((r - x0_h[p, s]) ** 2))
-                        n_iter[p, s] += its[j]
-                        conv[p, s] = convs[j]
-                n_escalated += len(bad)
-                n_conv_escalated += int(conv[tuple(bad.T)].sum())
+                for p, s in bad:
+                    pending.append((int(p), ys_h[p, s], x0_h[p, s],
+                                    mse[p, s]))
             acc["mse_sum"] += mse.sum(axis=1)
             acc["mse_sq"] += (mse ** 2).sum(axis=1)
             acc["it_sum"] += n_iter.sum(axis=1)
             acc["conv"] += conv.sum(axis=1)
+        # escalation pass: all of this alpha's stragglers in a couple of
+        # padded batched calls; accumulator corrections replace the
+        # default-pass values lane by lane
+        for start in range(0, len(pending), ESC_PAD):
+            grp = pending[start:start + ESC_PAD]
+            posts, its, convs, esc_dt = escalate(
+                [(p, y) for p, y, _, _ in grp])
+            t_solve += esc_dt  # device time of the re-solve
+            r_all = np.asarray(posts["x"]["r"], np.float64)
+            for j, (p, y, x0v, old_mse) in enumerate(grp):
+                new_mse = float(np.mean((r_all[j] - x0v) ** 2))
+                acc["mse_sum"][p] += new_mse - old_mse
+                acc["mse_sq"][p] += new_mse**2 - old_mse**2
+                acc["it_sum"][p] += float(its[j])
+                acc["conv"][p] += int(convs[j])
+            n_conv_escalated += int(convs.sum())
+        n_escalated += len(pending)
+
         S = SWEEP_SEEDS
         for ri, rho in enumerate(SWEEP_RHOS):
             se = StateEvolution(glm_state_evolution(
@@ -1272,9 +1290,14 @@ def bench_nonlinear():
 # each dense LinearChannel's U^T bx spectral image across sweeps
 # (config.SPECTRAL_CARRY, algos/expectation_propagation.py) — the
 # chain-only ML-VAMP trick generalized to ANY tree position. This block
-# measures the payoff on a TREE model (sparse-gradient regression: SIMO x,
-# dense sensing branch + FFT gradient branch) where no chain fast path
-# applies. Trajectories are bit-identical (tests/test_spectral_carry.py).
+# measures it on a TREE model (sparse-gradient regression: SIMO x, dense
+# sensing branch + FFT gradient branch) where no chain fast path applies.
+# Trajectories are bit-identical (tests/test_spectral_carry.py) and the
+# per-sweep MAC drop (one thin (Nx,k) GEMM per linear factor) is verified
+# in compiled cost analysis; wall-clock on THIS runtime measures neutral
+# (interleaved repeated A/B — a first sequential measurement showed +23%,
+# which proved to be device-warmup ordering artifact). Both arms are
+# warmed and interleaved here so the recorded ratio is trustworthy.
 # --------------------------------------------------------------------------
 
 TREE_N = 2048
@@ -1299,7 +1322,7 @@ def bench_tree_carry():
         jnp.asarray(A), jnp.asarray(y), x_shape=(N,), grad_rho=0.05,
         noise_var=1e-2, prior_var=1.0)
 
-    def rate(carry):
+    def make(carry):
         prev = tt_config.SPECTRAL_CARRY
         tt_config.SPECTRAL_CARRY = carry
         try:
@@ -1317,18 +1340,23 @@ def bench_tree_carry():
             lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)),
             state0)
         fn = jax.jit(jax.vmap(loop, in_axes=(None, 0)))
-        out = fn(model, state0b)
+        out = fn(model, state0b)   # compile + device warmup
         jax.block_until_ready(out)
-        reps = 3
-        st = out
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            st = fn(model, st)
-        jax.block_until_ready(st)
-        return B * N_LOOP / ((time.perf_counter() - t0) / reps)
+        return fn, out
 
-    r_off = rate(False)
-    r_on = rate(True)
+    arms = {c: make(c) for c in (False, True)}
+    best = {False: 0.0, True: 0.0}
+    for _ in range(3):             # interleaved reps; best-of per arm
+        for c in (False, True):
+            fn, st = arms[c]
+            t0 = time.perf_counter()
+            for _ in range(2):
+                st = fn(model, st)
+            jax.block_until_ready(st)
+            arms[c] = (fn, st)
+            best[c] = max(best[c],
+                          B * N_LOOP / ((time.perf_counter() - t0) / 2))
+    r_off, r_on = best[False], best[True]
     return {
         "metric": "tree_engine_iter_s_spectral_carry",
         "value": round(r_on, 1),
@@ -1471,6 +1499,16 @@ CACHE_SEGRID = os.path.join(_DIR, ".bench_cpu_segrid.json")
 SEGRID_BASELINE_STRIDE = 43
 
 
+def _protocol_fingerprint(*parts):
+    "Hash of source snippets + constant values for cache invalidation."
+    import hashlib
+    import inspect
+    out = []
+    for p in parts:
+        out.append(inspect.getsource(p) if callable(p) else repr(p))
+    return hashlib.sha256("\n".join(out).encode()).hexdigest()[:16]
+
+
 def main_cpu_segrid():
     """Reference-oracle denominator for the SE-grid headline (VERDICT r4
     missing #2): the reference StateEvolution's points/s on the SAME
@@ -1531,10 +1569,17 @@ def main_cpu_lowrank():
                       "delta": Delta}))
 
 
-def _run_subprocess(flag, cache_file, timeout=3000):
+def _run_subprocess(flag, cache_file, timeout=3000, fingerprint=None):
+    """Run a cached CPU subprocess. ``fingerprint`` (a protocol hash)
+    invalidates a stale cache whenever the measured protocol changes —
+    the denominator of a vs_baseline ratio must never silently reflect an
+    older protocol than the numerator (the CACHE_AUX lesson)."""
     if os.path.exists(cache_file):
         with open(cache_file) as f:
-            return json.load(f)
+            cached = json.load(f)
+        if fingerprint is None or cached.get("_fingerprint") == fingerprint:
+            return cached
+        os.remove(cache_file)
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
@@ -1550,6 +1595,8 @@ def _run_subprocess(flag, cache_file, timeout=3000):
                          timeout=timeout)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     result = json.loads(line)
+    if fingerprint is not None:
+        result["_fingerprint"] = fingerprint
     with open(cache_file, "w") as f:
         json.dump(result, f)
     return result
@@ -1707,14 +1754,21 @@ def main():
 
     # reference-oracle denominator for the SE-grid headline (cached):
     # the second half of BASELINE's metric finally gets a measured ratio
-    seg_base = _run_subprocess("--cpu-segrid", CACHE_SEGRID)
+    seg_base = _run_subprocess(
+        "--cpu-segrid", CACHE_SEGRID,
+        fingerprint=_protocol_fingerprint(
+            main_cpu_segrid, SEGRID_BASELINE_STRIDE, SE_GOLDEN_ROWS))
     se_grid["reference_points_per_s_cpu"] = seg_base["points_per_s"]
     se_grid["reference_subset_n_points"] = seg_base["n_points"]
     se_grid["vs_baseline"] = round(
         se_grid["value"] / seg_base["points_per_s"], 2)
 
     # reference-oracle denominator for the low-rank block (cached)
-    lr_base = _run_subprocess("--cpu-lowrank", CACHE_LOWRANK)
+    lr_base = _run_subprocess(
+        "--cpu-lowrank", CACHE_LOWRANK,
+        fingerprint=_protocol_fingerprint(
+            main_cpu_lowrank, _low_rank_instances,
+            (LOW_RANK_M, LOW_RANK_N, LOW_RANK_K, LOW_RANK_BASE_DELTA)))
     low_rank["reference_instances_per_s_cpu"] = lr_base["instances_per_s"]
     low_rank["reference_n_iter"] = lr_base.get("n_iter")
     if low_rank.get("base_delta_rate_tpu"):

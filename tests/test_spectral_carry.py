@@ -177,3 +177,24 @@ def test_load_legacy_checkpoint(no_carry, tmp_path):
     ep_off.iterate(max_iter=6, damping=0.2, tol=0.0, warm_start=True)
     ep_on.iterate(max_iter=6, damping=0.2, tol=0.0, warm_start=True)
     _assert_states_equal(ep_on, ep_off)
+
+
+def test_batched_per_lane_W_noisy_init():
+    """Regression (round-5 review): the batched solver shares ONE
+    init-state template across lanes whose W (hence U) leaves differ; the
+    carried spectral image must be re-derived from each lane's OWN
+    operator inside the compiled run — with a nonzero initial bx a
+    template-baked U^T bx0 would silently break bit-identity for every
+    non-template lane."""
+    models = [_glm(seed=s) for s in (0, 1, 2)]
+    stacked = stack_pytrees(models)
+    init = NoisyInit(seed=9)
+    solver = EPSolver(models[0], damping=0.2, tol=1e-9, max_iter=120)
+    post_b, n_b = solver.solve_batch(stacked, initializer=init)
+    for j, m in enumerate(models):
+        post_s, n_s, _ = solver.solve_info(m, initializer=NoisyInit(seed=9))
+        assert int(np.asarray(n_b)[j]) == int(n_s), (j, n_b, n_s)
+        for k in ("r", "v"):
+            np.testing.assert_array_equal(
+                np.asarray(post_b["x"][k])[j], np.asarray(post_s["x"][k]),
+                err_msg=f"lane {j} {k}")

@@ -76,17 +76,11 @@ class ExpectationPropagation(MessagePassing):
             out.append(i)
         return out
 
-    def _spectral_resolvent(self, node, az, bz, ax, t, u):
-        "k-space mean m = (t + s u)/(az + ax s^2), batch-aware like _mean_svd."
-        res = 1.0 / (az + ax * node.s**2)
-        s = node.s
-        if bz.ndim > 1:
-            res = res[..., None]
-            s = s[:, None]
-        return res * (t + s * u), s
-
     def _spectral_forward(self, i, node, state):
-        "Forward message with the carried tx = U^T bx (no fresh U^T GEMM)."
+        """Forward message with the carried u = U^T bx (no fresh U^T GEMM).
+        The math lives in LinearChannel.spectral_forward_posterior — the
+        same code the uncached path routes through — so the two paths
+        cannot drift apart."""
         e_in = self.model.in_edges[i][0]
         e_out = self.model.out_edges[i][0]
         m_in = self._load_msg(state[slot(e_in, FWD)])
@@ -94,10 +88,7 @@ class ExpectationPropagation(MessagePassing):
         az, bz = m_in["a"], m_in["b"]
         ax, bx = m_out["a"], m_out["b"]
         u = state[self.n_slots][str(i)]
-        t = node._mm(node.V, bz, transpose=True)
-        m, s = self._spectral_resolvent(node, az, bz, ax, t, u)
-        rx = node._mm(node.U, s * m)
-        vx = node.compute_forward_variance(az, ax)
+        rx, vx = node.spectral_forward_posterior(az, bz, ax, u)
         a_new, b_new = compute_ab_new(rx, vx, ax, bx)
         return {slot(e_out, FWD): {"a": a_new, "b": b_new}}
 
@@ -109,16 +100,7 @@ class ExpectationPropagation(MessagePassing):
         m_out = self._load_msg(state[slot(e_out, BWD)])
         az, bz = m_in["a"], m_in["b"]
         ax, bx = m_out["a"], m_out["b"]
-        t = node._mm(node.V, bz, transpose=True)   # CSE'd with the fwd pass
-        u = node._mm(node.U, bx, transpose=True)   # fresh -> carried
-        m, _ = self._spectral_resolvent(node, az, bz, ax, t, u)
-        if node.k == node.Nz:
-            rz = node._mm(node.V, m)
-        else:
-            # complement modes (s=0, resolvent 1/az), LinearChannel
-            # compute_backward_mean's projector identity
-            rz = bz / az + node._mm(node.V, m - t / az)
-        vz = node.compute_backward_variance(az, ax)
+        rz, vz, u = node.spectral_backward_posterior(az, bz, ax, bx)
         a_new, b_new = compute_ab_new(rz, vz, az, bz)
         return {slot(e_in, BWD): {"a": a_new, "b": b_new},
                 ("spec", str(i)): u}

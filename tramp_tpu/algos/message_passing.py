@@ -193,14 +193,23 @@ class MessagePassing:
             state = self._refresh_spectral_cache(state)
         return state
 
-    def _refresh_spectral_cache(self, state):
-        "Recompute each carried spectral image from the current slots."
+    def _refresh_spectral_cache(self, state, model=None):
+        """Recompute each carried spectral image from the current slots.
+
+        ``model`` defaults to the engine's construction-time model; the
+        compiled run paths pass the RUNTIME model instead — under the
+        batched solvers the engine's init_state() template is shared
+        across lanes whose U leaves differ (in_axes=(0, None)), so the
+        cache must be re-derived from each lane's own operator before the
+        first sweep (bit-preserving: the refresh is the same matvec the
+        first forward pass of the uncached engine would do)."""
+        nodes = (self.nodes if model is None else model.nodes)
         cache = {}
         for i in self.spectral_factors:
-            node = self.nodes[i]
+            node = nodes[i]
             e_out = self.model.out_edges[i][0]
             bx = self._load_msg(state[slot(e_out, BWD)])["b"]
-            cache[str(i)] = node._mm(node.U, bx, transpose=True)
+            cache[str(i)] = node.spectral_image(bx)
         return tuple(state[:self.n_slots]) + (cache,)
 
     def _harmonize_state(self, state):
@@ -626,6 +635,12 @@ class MessagePassing:
              wait_increase, max_increase)
         if k not in self._compiled:
             def run(model, state, max_iter, tol, n_iter0):
+                if self.spectral_factors:
+                    # re-derive the carried images from THIS model's
+                    # operators (the init-state template may be another
+                    # lane's; bit-preserving — see _refresh_spectral_cache)
+                    state = self._refresh_spectral_cache(state, model)
+
                 def cond(carry):
                     state, old_m, i, done = carry
                     return (~done) & (i < max_iter)
@@ -715,6 +730,9 @@ class MessagePassing:
         k = ("trace", damp)
         if k not in self._compiled:
             def run(model, state, n_iter):
+                if self.spectral_factors:
+                    state = self._refresh_spectral_cache(state, model)
+
                 def step(state, _):
                     new_state = self._sweep(model, state, damp)
                     vs = self._metric(model, new_state, "v")

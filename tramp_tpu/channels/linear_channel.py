@@ -86,15 +86,13 @@ class LinearChannel(Channel):
         """k-length spectral mean m = res_k (V^T bz + s U^T bx) with
         res_k = 1/(az + ax s^2), plus t = V^T bz (reused by the complement
         term of the backward mean). Ref linear_channel.py l:69-83, but on
-        the THIN factors only — complement modes are handled analytically."""
+        the THIN factors only — complement modes are handled analytically.
+        Routed through the same _resolvent_mean as the spectral-carry
+        kernels so the cached and uncached paths cannot drift apart."""
         t = self._mm(self.V, bz, transpose=True)   # (k,) or (k, B)
         u = self._mm(self.U, bx, transpose=True)   # (k,) or (k, B)
-        res = 1.0 / (az + ax * self.s**2)
-        s = self.s
-        if bz.ndim > 1:
-            res = res[..., None]
-            s = s[:, None]
-        return res * (t + s * u), t
+        m, _ = self._resolvent_mean(az, bz, ax, t, u)
+        return m, t
 
     def compute_backward_mean(self, az, bz, ax, bx):
         m, t = self._mean_svd(az, bz, ax, bx)
@@ -103,6 +101,42 @@ class LinearChannel(Channel):
         # complement modes (s=0) have resolvent 1/az:
         #   V_perp V_perp^T bz / az = (bz - V_k V_k^T bz) / az
         return bz / az + self._mm(self.V, m - t / az)
+
+    # -- spectral-carry kernels (engine SPECTRAL_CARRY support) -----------
+    # The same math as _mean_svd / compute_*_mean, but parameterized on the
+    # carried image u = U^T bx so the EP engine's cross-sweep cache stays
+    # BIT-IDENTICAL to the uncached path by construction (the engine calls
+    # THESE instead of duplicating the resolvent/projector expressions —
+    # a drift here breaks both paths together, loudly).
+    def spectral_image(self, bx):
+        "The carried image u = U^T bx (k-length)."
+        return self._mm(self.U, bx, transpose=True)
+
+    def _resolvent_mean(self, az, bz, ax, t, u):
+        res = 1.0 / (az + ax * self.s**2)
+        s = self.s
+        if bz.ndim > 1:
+            res = res[..., None]
+            s = s[:, None]
+        return res * (t + s * u), s
+
+    def spectral_forward_posterior(self, az, bz, ax, u):
+        "(rx, vx) using the carried u = U^T bx; no fresh U^T GEMM."
+        t = self._mm(self.V, bz, transpose=True)
+        m, s = self._resolvent_mean(az, bz, ax, t, u)
+        rx = self._mm(self.U, s * m)
+        return rx, self.compute_forward_variance(az, ax)
+
+    def spectral_backward_posterior(self, az, bz, ax, bx):
+        "(rz, vz, u): the fresh u = U^T bx becomes the carried image."
+        t = self._mm(self.V, bz, transpose=True)
+        u = self.spectral_image(bx)
+        m, _ = self._resolvent_mean(az, bz, ax, t, u)
+        if self.k == self.Nz:
+            rz = self._mm(self.V, m)
+        else:
+            rz = bz / az + self._mm(self.V, m - t / az)
+        return rz, self.compute_backward_variance(az, ax), u
 
     def compute_forward_mean(self, az, bz, ax, bx):
         # rx = W rz = U (s * m): only the k signal modes contribute — one

@@ -35,12 +35,25 @@ class LowRankGramChannel(Channel):
     def compute_forward_posterior(self, az, bz, ax, bx):
         # real moment-matched posterior where the reference stubs one
         # (low_rank_gram_channel.py:36-41 'Using placeholders'): run the
-        # embedded VAMP and match its marginals into x = z z^T / sqrt(N)
+        # embedded VAMP and match its marginals into x = z z^T / sqrt(N).
+        # NOTE the forward direction runs its own embedded solve (its bx
+        # differs from the backward pass's within a sweep); when x is a
+        # terminal observed leaf behind a Gaussian likelihood the forward
+        # message cannot move the z fixed point — the cost buys correct
+        # x readouts and non-terminal-x support.
         *_, (Z_hat, C_Z, _, _) = vamp_matrix_factorization(
             au=az, av=az, bu=bz, bv=bz, ax=ax, bx=bx, model="XX",
             return_marginals=True)
-        return forward_posterior_from_marginals(
+        rx, vx = forward_posterior_from_marginals(
             Z_hat, C_Z, Z_hat, C_Z, self.N)
+        # diagonal of the Gram case is a SAME-row product:
+        # E[x_ii] = (|z_i|^2 + tr(C_i)) / sqrt(N) — the row-independence
+        # formula drops the tr(C_i) term. (The i=j variance correction is
+        # O(N) of N^2 entries = O(1/N) on the isotropic vx and is ignored,
+        # like the reference's O(1/N^2) terms in second_moment l:31-34.)
+        tr = jnp.trace(C_Z, axis1=1, axis2=2)
+        rx = rx + jnp.diag(tr) / jnp.sqrt(1.0 * self.N)
+        return rx, vx
 
     def compute_backward_posterior(self, az, bz, ax, bx):
         rz_u, vz_u, rz_v, vz_v = vamp_matrix_factorization(

@@ -15,13 +15,17 @@ tramp/channels/low_rank/AMP_matrix_factorization.py:6).
 How it beats the generic tree engine on the SAME schedule
 ---------------------------------------------------------
 The engine's per-sweep cost on a dense `LinearChannel` (x = W z,
-W = U S V^T, thin factors U (Nx,k) / V (Nz,k)) is 5 thin GEMMs =
+W = U S V^T, thin factors U (Nx,k) / V (Nz,k)) was 5 thin GEMMs =
 2 Nz k + 3 Nx k MACs: the backward pass re-transforms
 the x-side cavity (U^T bx) that the forward pass already transformed,
 because the generic slot machinery materializes every message in real
 space (XLA's CSE removes the duplicate V^T bz but cannot remove U^T bx —
 its operand changed between the passes). ML-VAMP carries each linear
-factor's spectral images across passes instead:
+factor's spectral images across passes instead (since round 5 the
+generic engine applies the same carry at any tree position —
+config.SPECTRAL_CARRY, algos/expectation_propagation.py — so the
+remaining ML-VAMP edge on chains is the pinned terminal and the
+skipped terminal forward message below):
 
 - forward pass: V^T bz (fresh) is computed, used, and kept for the
   backward pass (bz cannot change in between — the backward pass only

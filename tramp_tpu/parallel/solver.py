@@ -33,10 +33,13 @@ def _stack_weak(col):
     would come out f64 under x64 (breaking e.g. the gated-bf16 carry)."""
     import numpy as np
 
-    if all(x == col[0] for x in col):
-        # constant column (the typical case for protocol constants):
-        # broadcast_to PRESERVES the python scalar's weak type — a fully
-        # public, single-dispatch path
+    if all(type(x) is type(col[0]) and x == col[0] for x in col):
+        # constant SAME-TYPE column (the typical case for protocol
+        # constants): broadcast_to PRESERVES the python scalar's weak
+        # type — a fully public, single-dispatch path. The type check
+        # matters: an equal-valued mixed int/float column (1 == 1.0)
+        # must take the stack path below so it keeps numpy's promoted
+        # float dtype like the previous implementation
         return jnp.broadcast_to(jnp.asarray(col[0]), (len(col),))
     arr = jnp.asarray(np.stack(col))
     if _weak_retag is not None:
@@ -116,6 +119,12 @@ class _Solver:
         self.stop_kind = kind
 
         def run(model, state, max_iter, tol):
+            if eng.spectral_factors:
+                # the shared init-state template's carried spectral images
+                # are re-derived from THIS lane's operators (bit-preserving
+                # — the same matvec the first uncached forward pass does)
+                state = eng._refresh_spectral_cache(state, model)
+
             def cond(carry):
                 state, old_m, i, n_iter, done, conv = carry
                 return (~done) & (i < max_iter)
