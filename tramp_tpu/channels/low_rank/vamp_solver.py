@@ -50,6 +50,12 @@ def vamp_matrix_factorization(au, av, bu, bv, ax, bx, model="UV",
     M, K = bu.shape
     N = bv.shape[0]
 
+    # ax floor: inside an EP sweep the FIRST forward pass sees the
+    # uninformative (ax=0, bx=0) init from the x side (the likelihood's
+    # backward message is only written later in the sweep); 0/0 here
+    # would poison the whole engine state. At the floor Delta caps at
+    # 1/AMIN, i.e. an (almost) data-free solve that returns ~the prior.
+    ax = jnp.maximum(ax, 1e-11)
     Y = bx / ax
     Delta = jnp.maximum(1.0 / ax, 1e-2)
     S = (Y / Delta).T          # (N, M)
