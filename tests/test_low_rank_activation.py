@@ -357,3 +357,29 @@ def test_low_rank_end_to_end_ep():
     # gauge-invariant reconstruction: the posterior mean of x recovers
     # the planted low-rank signal well below the signal scale
     assert mse_x < 0.25 * tau_x, (mse_x, tau_x)
+
+
+def test_gram_end_to_end_ep():
+    "Same engine integration for the symmetric Gram case x = z z^T/sqrt(N)."
+    import tramp_tpu as tt
+    from tramp_tpu.priors import GaussianPrior
+    from tramp_tpu.likelihoods import GaussianLikelihood
+    from tramp_tpu.channels import LowRankGramChannel
+
+    N, K, Delta = 50, 2, 0.05
+    rng = np.random.RandomState(2)
+    z0 = rng.randn(N, K)
+    X0 = z0 @ z0.T / np.sqrt(N)
+    E = rng.randn(N, N)
+    Y = X0 + np.sqrt(Delta) * (E + E.T) / np.sqrt(2)
+    model = (
+        GaussianPrior(size=(N, K)) @ tt.V(id="z") @
+        LowRankGramChannel(N=N, K=K) @ tt.V(id="x") @
+        GaussianLikelihood(y=jnp.asarray(Y), var=Delta)
+    ).to_model()
+    ep = tt.ExpectationPropagation(model)
+    ep.iterate(max_iter=20, damping=0.3)
+    Xh = np.asarray(ep.get_variable_data("x")["r"])
+    assert np.all(np.isfinite(Xh))
+    mse_x = float(np.mean((Xh - X0) ** 2))
+    assert mse_x < 0.25 * float(np.mean(X0**2)), mse_x
