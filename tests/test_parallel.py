@@ -440,3 +440,10 @@ def test_weak_stack_fast_path():
     const = stack_pytrees([{"var": 0.01} for _ in range(4)])
     assert const["var"].weak_type
     np.testing.assert_allclose(np.asarray(const["var"]), [0.01] * 4)
+
+
+def test_weak_stack_mixed_type_constant_column():
+    "Equal-VALUED mixed int/float columns must keep the promoted float."
+    mixed = stack_pytrees([{"c": 1}, {"c": 1.0}, {"c": 1}])
+    assert mixed["c"].dtype.kind == "f", mixed["c"].dtype
+    np.testing.assert_allclose(np.asarray(mixed["c"]), [1.0, 1.0, 1.0])
